@@ -1,0 +1,99 @@
+"""Benchmark driver: batched dense QP throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measurement (BASELINE.md config 2): a batch of 1024 dense strongly convex
+QPs (n=64, p=16, m=32) solved to eps_abs=1e-8 with the vmapped solver on the
+default device (TPU when present).
+
+Baseline (vs_baseline denominator): the same problems solved one-at-a-time
+on the host CPU backend — a fair stand-in for the reference's single-core
+Eigen/C++ solve (the reference repo publishes no absolute numbers;
+BASELINE.md records `published: {}`), since XLA-CPU dense Cholesky runs at
+Eigen-class speed.  vs_baseline therefore reports the aggregate-throughput
+multiple the TPU framework delivers over a sequential CPU solve of the same
+algorithm.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import piqp_tpu
+from piqp_tpu import Settings
+from piqp_tpu.batch import _solve_batch_jit, prepare_batch
+from piqp_tpu.utils.random import dense_strongly_convex_qp
+
+BATCH = 1024
+N, P, M = 64, 16, 32
+CPU_SAMPLE = 8  # problems for the sequential CPU baseline
+
+
+def make_batch(batch, start_seed=0):
+    return prepare_batch(
+        [
+            dense_strongly_convex_qp(N, P, M, seed=start_seed + i)
+            for i in range(batch)
+        ]
+    )
+
+
+def main():
+    settings = Settings()
+
+    data = make_batch(BATCH)
+
+    # --- accelerator batched throughput
+    res = _solve_batch_jit(data, settings, True)  # warmup/compile
+    jax.block_until_ready(res)
+    n_solved = int(jnp.sum(res.info.status == 1))
+
+    t0 = time.perf_counter()
+    res = _solve_batch_jit(data, settings, True)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    throughput = BATCH / dt
+
+    # --- sequential CPU baseline (single problem at a time)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        small = [
+            jax.device_put(jax.tree.map(lambda x: x[i], data), cpu)
+            for i in range(CPU_SAMPLE)
+        ]
+        from piqp_tpu.api import _solve_fresh
+
+        r, _ = _solve_fresh(small[0], settings, True)  # warmup/compile
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for d in small:
+            r, _ = _solve_fresh(d, settings, True)
+            jax.block_until_ready(r)
+        cpu_dt = time.perf_counter() - t0
+    cpu_throughput = CPU_SAMPLE / cpu_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"batched_dense_qp_throughput_b{BATCH}_n{N}",
+                "value": round(throughput, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(throughput / cpu_throughput, 3),
+                "extra": {
+                    "solved": n_solved,
+                    "batch": BATCH,
+                    "n": N,
+                    "cpu_sequential_solves_per_s": round(cpu_throughput, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Batched QP solving — the TPU headline capability.
+
+The reference is a single-problem, single-core library; its throughput story
+is SIMD + OpenMP (SURVEY.md section 2.10).  On TPU the natural analog is
+*batching*: every solver stage is a pure function over pytrees, so ``vmap``
+turns it into a batched solver where the condensed-KKT Cholesky becomes a
+batched factorization on the MXU, and ``jax.sharding`` splits the batch
+across devices (data-parallel over ICI).
+
+All problems in a batch share shapes (n, p, m); masks may differ per
+problem (different active bounds), but all problems must either have cone
+constraints or none (the dispatch is static).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ruiz, solver
+from .api import prepare_data
+from .types import QPData, Result, Settings
+
+
+def prepare_batch(problems: Sequence[dict], dtype=jnp.float64) -> QPData:
+    """Stack a sequence of problem dicts (keys P, c, A, b, G, h_l, h_u,
+    x_l, x_u) into one batched QPData with a leading batch axis."""
+    datas = [prepare_data(**prob, dtype=dtype) for prob in problems]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+
+
+@partial(jax.jit, static_argnames=("settings", "cone"))
+def _solve_batch_jit(data: QPData, settings: Settings, cone: bool) -> Result:
+    def one(d):
+        sdata, sc = ruiz.equilibrate(
+            d,
+            max_iter=settings.preconditioner_iter,
+            scale_cost=settings.preconditioner_scale_cost,
+        )
+        return solver.solve_scaled(sdata, sc, settings, cone)
+
+    return jax.vmap(one)(data)
+
+
+def solve_batch(
+    data: QPData,
+    settings: Settings = Settings(),
+    cone: bool = True,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Result:
+    """Solve a batch of QPs (leading axis on every leaf of ``data``).
+
+    ``sharding``: optional sharding for the batch axis; pass a
+    ``NamedSharding(mesh, P('batch'))`` to scale across devices.  The solve
+    is embarrassingly parallel over the batch — XLA inserts no collectives.
+    """
+    if sharding is not None:
+        data = jax.device_put(data, sharding)
+    return _solve_batch_jit(data, settings, cone)

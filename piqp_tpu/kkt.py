@@ -1,0 +1,372 @@
+"""Condensed KKT system: scalings, assembly, Cholesky factor/solve,
+slack/dual recovery, iterative refinement.
+
+TPU-native re-design of the reference KKT layer:
+  - condensation of the 10-block KKT system to the 3-block (x, y, z) system:
+    /root/reference/include/piqp/kkt_system.hpp:143-369
+  - the fully condensed n-by-n dense backend (K = P + diag(x_reg)
+    + (1/delta) A'A + G' W^-1 G + Cholesky):
+    /root/reference/include/piqp/dense/kkt.hpp:39-177
+
+Design deltas vs the reference (TPU-first):
+
+- All per-bound index-set loops (kkt_system.hpp:161-193, 219-252, 310-366)
+  become masked vector expressions.  In particular the three-way per-row
+  branch in the dual recovery (kkt_system.hpp:321-343) collapses to a single
+  vector formula: with ``W_l_inv = 0`` on rows without a lower bound the
+  two-sided expressions degenerate *exactly* to the one-sided ones.
+
+- The backend is matmul/Cholesky shaped for the MXU: K is assembled with two
+  GEMMs + a diagonal add, factored with XLA's blocked Cholesky, and solved
+  with batched triangular solves.  Everything vmaps for batched QPs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .types import QPData, Settings, Vars, _pytree_dataclass
+
+
+@_pytree_dataclass
+class KKTState:
+    """Factorization-time state (analog of KKTSystem's members,
+    kkt_system.hpp:32-65, plus the dense backend's factor)."""
+
+    rho: jax.Array  # scalar
+    delta: jax.Array  # scalar (unregularized)
+    delta_reg: jax.Array  # scalar delta + static reg (if refinement active)
+
+    # slack / dual copies at factorization time (kkt_system.hpp:152-159)
+    s_l: jax.Array
+    s_u: jax.Array
+    s_bl: jax.Array
+    s_bu: jax.Array
+    z_l_inv: jax.Array  # masked-safe 1/z (0 where bound inactive)
+    z_u_inv: jax.Array
+    z_bl_inv: jax.Array
+    z_bu_inv: jax.Array
+
+    # diagonal scalings
+    W_l_inv: jax.Array  # (m,) 1/(s_l/z_l + delta), 0 where inactive
+    W_u_inv: jax.Array
+    W_bl_inv: jax.Array  # (n,) box analogs
+    W_bu_inv: jax.Array
+    x_reg: jax.Array  # (n,) rho + box contributions (+ static reg if IR)
+    z_reg: jax.Array  # (m,) 1/(W_l_inv + W_u_inv) (no static reg)
+    z_reg_fact: jax.Array  # (m,) z_reg + static reg; used by the backend
+
+    L: jax.Array  # (n, n) lower Cholesky factor of the condensed matrix
+    use_ir: jax.Array  # bool scalar: iterative refinement active
+
+
+def _safe_inv(x: jax.Array, mask: jax.Array) -> jax.Array:
+    return jnp.where(mask, 1.0 / jnp.where(mask, x, 1.0), 0.0)
+
+
+def compute_scalings(
+    data: QPData,
+    settings: Settings,
+    vars: Vars,
+    rho: jax.Array,
+    delta: jax.Array,
+    use_ir: jax.Array,
+    P_diag: jax.Array,
+) -> KKTState:
+    """Build the diagonal scalings x_reg/z_reg (kkt_system.hpp:143-211).
+
+    ``use_ir`` adds the static regularization used by iterative refinement
+    (kkt_system.hpp:195-207): the factorized system gets x_reg + reg,
+    z_reg + reg and delta + reg, while the refinement matvec target keeps
+    the unregularized z_reg and delta but (mirroring the reference, which
+    mutates m_x_reg in place) the *regularized* x_reg.
+    """
+    z_l_inv = _safe_inv(vars.z_l, data.hl_mask)
+    z_u_inv = _safe_inv(vars.z_u, data.hu_mask)
+    z_bl_inv = _safe_inv(vars.z_bl, data.xl_mask)
+    z_bu_inv = _safe_inv(vars.z_bu, data.xu_mask)
+
+    W_l_inv = jnp.where(data.hl_mask, 1.0 / (z_l_inv * vars.s_l + delta), 0.0)
+    W_u_inv = jnp.where(data.hu_mask, 1.0 / (z_u_inv * vars.s_u + delta), 0.0)
+    W_bl_inv = jnp.where(data.xl_mask, 1.0 / (z_bl_inv * vars.s_bl + delta), 0.0)
+    W_bu_inv = jnp.where(data.xu_mask, 1.0 / (z_bu_inv * vars.s_bu + delta), 0.0)
+
+    xb2 = data.x_b_scaling * data.x_b_scaling
+    x_reg = rho + xb2 * W_bl_inv + xb2 * W_bu_inv  # kkt_system.hpp:161-175
+
+    z_reg_sum = W_l_inv + W_u_inv
+    z_reg = jnp.where(z_reg_sum > 0, 1.0 / jnp.where(z_reg_sum > 0, z_reg_sum, 1.0), 0.0)
+
+    # static regularization (kkt_system.hpp:195-207)
+    max_diag = jnp.max(jnp.abs(P_diag + x_reg), initial=0.0)
+    max_diag = jnp.maximum(max_diag, jnp.max(jnp.abs(z_reg), initial=0.0))
+    reg = (
+        settings.iterative_refinement_static_regularization_eps
+        + settings.static_reg_rel() * max_diag
+    )
+    reg = jnp.where(use_ir, reg, 0.0)
+
+    dtype = data.P.dtype
+    return KKTState(
+        rho=jnp.asarray(rho, dtype),
+        delta=jnp.asarray(delta, dtype),
+        delta_reg=jnp.asarray(delta + reg, dtype),
+        s_l=vars.s_l,
+        s_u=vars.s_u,
+        s_bl=vars.s_bl,
+        s_bu=vars.s_bu,
+        z_l_inv=z_l_inv,
+        z_u_inv=z_u_inv,
+        z_bl_inv=z_bl_inv,
+        z_bu_inv=z_bu_inv,
+        W_l_inv=W_l_inv,
+        W_u_inv=W_u_inv,
+        W_bl_inv=W_bl_inv,
+        W_bu_inv=W_bu_inv,
+        x_reg=x_reg + reg,
+        z_reg=z_reg,
+        z_reg_fact=z_reg + reg,
+        L=jnp.zeros_like(data.P),
+        use_ir=jnp.asarray(use_ir, bool),
+    )
+
+
+def assemble_condensed(data: QPData, ks: KKTState) -> jax.Array:
+    """K = P + diag(x_reg) + (1/delta_reg) A'A + G' diag(1/z_reg_fact) G
+    (dense/kkt.hpp:140-160)."""
+    n = data.n
+    K = data.P + jnp.diag(ks.x_reg)
+    if data.p > 0:
+        K = K + (data.A.T @ data.A) / ks.delta_reg
+    if data.m > 0:
+        z_reg_fact_inv = 1.0 / ks.z_reg_fact
+        K = K + data.G.T @ (z_reg_fact_inv[:, None] * data.G)
+    return K
+
+
+def factor(data: QPData, ks: KKTState) -> tuple[KKTState, jax.Array]:
+    """Cholesky-factor the condensed matrix; ok=False when the factorization
+    produced non-finite values (XLA's cholesky yields NaNs where Eigen's LLT
+    reports failure, dense/kkt.hpp:82-83)."""
+    K = assemble_condensed(data, ks)
+    L = jnp.linalg.cholesky(K)
+    ok = jnp.all(jnp.isfinite(L))
+    return ks.replace(L=L), ok
+
+
+def _backend_solve(data: QPData, ks: KKTState, rx, ry, rz):
+    """Dense condensed backend solve (dense/kkt.hpp:86-105)."""
+    v = rx
+    if data.m > 0:
+        v = v + data.G.T @ (rz / ks.z_reg_fact)
+    if data.p > 0:
+        v = v + data.A.T @ (ry / ks.delta_reg)
+
+    lx = lax.linalg.triangular_solve(ks.L, v, left_side=True, lower=True)
+    lx = lax.linalg.triangular_solve(
+        ks.L, lx, left_side=True, lower=True, transpose_a=True
+    )
+
+    ly = (data.A @ lx - ry) / ks.delta_reg if data.p > 0 else jnp.zeros_like(ry)
+    lz = (
+        (data.G @ lx - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
+    )
+    return lx, ly, lz
+
+
+def mul_condensed(data: QPData, ks: KKTState, lx, ly, lz):
+    """Condensed KKT matvec for refinement (kkt_system.hpp:507-519).
+
+    Note: uses the (possibly statically regularized) x_reg but the
+    *unregularized* delta and z_reg, exactly as the reference does.
+    """
+    rx = data.P @ lx + ks.x_reg * lx
+    ry = jnp.zeros_like(ly)
+    rz = jnp.zeros_like(lz)
+    if data.p > 0:
+        rx = rx + data.A.T @ ly
+        ry = data.A @ lx - ks.delta * ly
+    if data.m > 0:
+        rx = rx + data.G.T @ lz
+        rz = data.G @ lx - ks.z_reg * lz
+    return rx, ry, rz
+
+
+def mul_full(data: QPData, ks: KKTState, lhs: Vars) -> Vars:
+    """Full (uncondensed) 10-block regularized KKT matvec
+    (kkt_system.hpp:392-425).  Used by tests as the round-trip oracle."""
+    rx = data.P @ lhs.x + ks.rho * lhs.x
+    ry = jnp.zeros_like(lhs.y)
+    if data.p > 0:
+        rx = rx + data.A.T @ lhs.y
+        ry = data.A @ lhs.x - ks.delta * lhs.y
+    Gx = data.G @ lhs.x if data.m > 0 else jnp.zeros_like(lhs.z_l)
+    if data.m > 0:
+        rx = rx + data.G.T @ (lhs.z_u - lhs.z_l)
+    rz_l = jnp.where(data.hl_mask, -Gx + lhs.s_l - ks.delta * lhs.z_l, 0.0)
+    rz_u = jnp.where(data.hu_mask, Gx + lhs.s_u - ks.delta * lhs.z_u, 0.0)
+    # complementarity rows: S dz + Z ds (ks holds s and 1/z at factor time)
+    z_l = jnp.where(data.hl_mask, 1.0 / jnp.where(data.hl_mask, ks.z_l_inv, 1.0), 0.0)
+    z_u = jnp.where(data.hu_mask, 1.0 / jnp.where(data.hu_mask, ks.z_u_inv, 1.0), 0.0)
+    z_bl = jnp.where(data.xl_mask, 1.0 / jnp.where(data.xl_mask, ks.z_bl_inv, 1.0), 0.0)
+    z_bu = jnp.where(data.xu_mask, 1.0 / jnp.where(data.xu_mask, ks.z_bu_inv, 1.0), 0.0)
+    rs_l = ks.s_l * lhs.z_l + z_l * lhs.s_l
+    rs_u = ks.s_u * lhs.z_u + z_u * lhs.s_u
+
+    xb = data.x_b_scaling
+    rx = rx - jnp.where(data.xl_mask, xb * lhs.z_bl, 0.0)
+    rx = rx + jnp.where(data.xu_mask, xb * lhs.z_bu, 0.0)
+    rz_bl = jnp.where(
+        data.xl_mask, -xb * lhs.x - ks.delta * lhs.z_bl + lhs.s_bl, 0.0
+    )
+    rz_bu = jnp.where(
+        data.xu_mask, xb * lhs.x - ks.delta * lhs.z_bu + lhs.s_bu, 0.0
+    )
+    rs_bl = ks.s_bl * lhs.z_bl + z_bl * lhs.s_bl
+    rs_bu = ks.s_bu * lhs.z_bu + z_bu * lhs.s_bu
+
+    return Vars(
+        x=rx, y=ry, z_l=rz_l, z_u=rz_u, z_bl=rz_bl, z_bu=rz_bu,
+        s_l=rs_l, s_u=rs_u, s_bl=rs_bl, s_bu=rs_bu,
+    )
+
+
+def _inf3(x, y, z):
+    return jnp.maximum(
+        jnp.max(jnp.abs(x), initial=0.0),
+        jnp.maximum(jnp.max(jnp.abs(y), initial=0.0), jnp.max(jnp.abs(z), initial=0.0)),
+    )
+
+
+def _refine_error(data, ks, lx, ly, lz, rx, ry, rz):
+    ex, ey, ez = mul_condensed(data, ks, lx, ly, lz)
+    ex, ey, ez = rx - ex, ry - ey, rz - ez
+    return ex, ey, ez, _inf3(ex, ey, ez)
+
+
+def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx, ry, rz):
+    """Backend solve + optional iterative refinement
+    (kkt_system.hpp:254-308)."""
+    lx, ly, lz = _backend_solve(data, ks, rx, ry, rz)
+
+    def with_refinement(args):
+        lx, ly, lz = args
+        rhs_norm = _inf3(rx, ry, rz)
+        ex, ey, ez, err = _refine_error(data, ks, lx, ly, lz, rx, ry, rz)
+        ok0 = jnp.isfinite(err)
+
+        tol = (
+            settings.iterative_refinement_eps_abs
+            + settings.iterative_refinement_eps_rel * rhs_norm
+        )
+
+        def cond(c):
+            i, _lx, _ly, _lz, _ex, _ey, _ez, err, done, ok = c
+            return jnp.logical_and(
+                jnp.logical_and(~done, ok),
+                jnp.logical_and(i < settings.iterative_refinement_max_iter, err > tol),
+            )
+
+        def body(c):
+            i, lx, ly, lz, ex, ey, ez, err, done, ok = c
+            dx, dy, dz = _backend_solve(data, ks, ex, ey, ez)
+            cx, cy, cz = lx + dx, ly + dy, lz + dz
+            nex, ney, nez, nerr = _refine_error(data, ks, cx, cy, cz, rx, ry, rz)
+            ok = jnp.isfinite(nerr)
+            rate = err / nerr
+            slow = rate < settings.iterative_refinement_min_improvement_rate
+            accept = jnp.logical_and(ok, jnp.logical_or(~slow, rate > 1.0))
+            # kkt_system.hpp:289-301: on slow improvement keep the better
+            # iterate and stop; otherwise accept and continue.
+            lx = jnp.where(accept, cx, lx)
+            ly = jnp.where(accept, cy, ly)
+            lz = jnp.where(accept, cz, lz)
+            ex = jnp.where(accept, nex, ex)
+            ey = jnp.where(accept, ney, ey)
+            ez = jnp.where(accept, nez, ez)
+            err = jnp.where(accept, nerr, err)
+            done = slow
+            return (i + 1, lx, ly, lz, ex, ey, ez, err, done, ok)
+
+        c = (
+            jnp.asarray(0, jnp.int32),
+            lx, ly, lz, ex, ey, ez, err,
+            jnp.asarray(False), ok0,
+        )
+        c = lax.while_loop(cond, body, c)
+        _, lx, ly, lz, _, _, _, _, _, ok = c
+        return lx, ly, lz, ok
+
+    def without_refinement(args):
+        lx, ly, lz = args
+        ok = jnp.logical_and(
+            jnp.all(jnp.isfinite(lx)),
+            jnp.logical_and(jnp.all(jnp.isfinite(ly)), jnp.all(jnp.isfinite(lz))),
+        )
+        return lx, ly, lz, ok
+
+    return lax.cond(ks.use_ir, with_refinement, without_refinement, (lx, ly, lz))
+
+
+def solve(
+    data: QPData, settings: Settings, ks: KKTState, rhs: Vars
+) -> tuple[Vars, jax.Array]:
+    """Full KKT solve: condense RHS, solve the (x,y,z) system, recover the
+    slack/dual directions (kkt_system.hpp:213-369).
+
+    Returns (lhs, ok).
+    """
+    # condensed inequality RHS (kkt_system.hpp:219-234)
+    rz_l_bar = jnp.where(data.hl_mask, rhs.z_l - ks.z_l_inv * rhs.s_l, 0.0)
+    rz_u_bar = jnp.where(data.hu_mask, rhs.z_u - ks.z_u_inv * rhs.s_u, 0.0)
+    rhs_z_bar = ks.z_reg * (-ks.W_l_inv * rz_l_bar + ks.W_u_inv * rz_u_bar)
+
+    # condensed primal RHS with box eliminations (kkt_system.hpp:236-252)
+    rb_l_bar = jnp.where(data.xl_mask, rhs.z_bl - ks.z_bl_inv * rhs.s_bl, 0.0)
+    rb_u_bar = jnp.where(data.xu_mask, rhs.z_bu - ks.z_bu_inv * rhs.s_bu, 0.0)
+    rhs_x_bar = (
+        rhs.x
+        - data.x_b_scaling * ks.W_bl_inv * rb_l_bar
+        + data.x_b_scaling * ks.W_bu_inv * rb_u_bar
+    )
+
+    lx, ly, lz, ok = _solve_condensed_refined(
+        data, settings, ks, rhs_x_bar, rhs.y, rhs_z_bar
+    )
+
+    # inequality dual/slack recovery (kkt_system.hpp:310-345).  The uniform
+    # masked formula reproduces all three per-row cases of the reference.
+    r_sum = ks.W_l_inv * ks.W_u_inv * (rz_l_bar + rz_u_bar)
+    lz_l = jnp.where(data.hl_mask, -ks.z_reg * (r_sum + ks.W_l_inv * lz), 0.0)
+    lz_u = jnp.where(data.hu_mask, -ks.z_reg * (r_sum - ks.W_u_inv * lz), 0.0)
+    ls_l = jnp.where(data.hl_mask, ks.z_l_inv * (rhs.s_l - ks.s_l * lz_l), 0.0)
+    ls_u = jnp.where(data.hu_mask, ks.z_u_inv * (rhs.s_u - ks.s_u * lz_u), 0.0)
+
+    # box dual/slack recovery (kkt_system.hpp:347-366)
+    lz_bl = jnp.where(
+        data.xl_mask,
+        (-data.x_b_scaling * lx - rhs.z_bl + ks.z_bl_inv * rhs.s_bl) * ks.W_bl_inv,
+        0.0,
+    )
+    lz_bu = jnp.where(
+        data.xu_mask,
+        (data.x_b_scaling * lx - rhs.z_bu + ks.z_bu_inv * rhs.s_bu) * ks.W_bu_inv,
+        0.0,
+    )
+    ls_bl = jnp.where(
+        data.xl_mask, ks.z_bl_inv * (rhs.s_bl - ks.s_bl * lz_bl), 0.0
+    )
+    ls_bu = jnp.where(
+        data.xu_mask, ks.z_bu_inv * (rhs.s_bu - ks.s_bu * lz_bu), 0.0
+    )
+
+    lhs = Vars(
+        x=lx, y=ly,
+        z_l=lz_l, z_u=lz_u, z_bl=lz_bl, z_bu=lz_bu,
+        s_l=ls_l, s_u=ls_u, s_bl=ls_bl, s_bu=ls_bu,
+    )
+    return lhs, ok

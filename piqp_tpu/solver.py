@@ -1,0 +1,861 @@
+"""The proximal interior-point method (IPM) core.
+
+TPU-native re-design of SolverBase::solve_impl and friends
+(/root/reference/include/piqp/solver.hpp:379-1259):
+
+- the main iteration is a single ``lax.while_loop`` over a solver-state
+  pytree; PIQP's factorization-retry ladder (solver.hpp:446-465, 687-708)
+  is an inner while_loop whose state transitions mirror the reference's
+  enable-refinement -> boost-regularization -> fail sequence;
+- all index-set loops become masked vector ops (see types.py);
+- everything is pure w.r.t. (QPData, Scaling) so the whole solve is
+  jit-able, vmap-able (batched QPs) and pjit-shardable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import kkt
+from .types import (
+    PIQP_INF,
+    BasicVars,
+    Info,
+    QPData,
+    Result,
+    Scaling,
+    Settings,
+    Status,
+    Vars,
+    init_info,
+    zero_vars,
+    _pytree_dataclass,
+)
+
+
+@_pytree_dataclass
+class IPMState:
+    vars: Vars
+    prox: BasicVars  # proximal center (xi, lambda, nu) (solver.hpp:53)
+    res_nr: BasicVars  # non-regularized residuals
+    res: Vars  # regularized residuals / KKT RHS workspace
+    ks: kkt.KKTState
+    info: Info
+    use_ir: jax.Array  # bool: iterative refinement enabled
+    P_diag: jax.Array
+
+
+def _inf_norm(v: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(v), initial=0.0)
+
+
+def _masked_signed_max(v: jax.Array, mask: jax.Array) -> jax.Array:
+    """max over active entries of the *signed* value, 0 if none.
+
+    The reference takes raw (un-absed) per-index values for the box and
+    active-inequality contributions to the relative norms
+    (solver.hpp:1047,1066,1081,1139-1143); this mirrors that exactly.
+    """
+    return jnp.max(jnp.where(mask, v, 0.0), initial=0.0)
+
+
+# ---------------------------------------------------------------------------
+# residuals
+# ---------------------------------------------------------------------------
+
+def residuals_nr(
+    data: QPData, sc: Scaling, vars: Vars, info: Info
+) -> tuple[BasicVars, Info]:
+    """Non-regularized residuals, objectives and relative norms
+    (solver.hpp:960-1105)."""
+    x, y = vars.x, vars.y
+
+    Px = data.P @ x
+    Ax = data.A @ x if data.p > 0 else jnp.zeros_like(vars.y)
+    ATy = data.A.T @ y if data.p > 0 else jnp.zeros_like(x)
+    Gx = data.G @ x if data.m > 0 else jnp.zeros_like(vars.z_l)
+    dz = vars.z_u - vars.z_l
+    GTdz = data.G.T @ dz if data.m > 0 else jnp.zeros_like(x)
+
+    c_inv = 1.0 / sc.c
+    ud_x = sc.d_x * c_inv  # unscale_dual_res factor (preconditioner.hpp:414-417)
+
+    dual_rel = _inf_norm(Px * ud_x)
+
+    # objectives & duality gap (solver.hpp:987-1016)
+    xPx = x @ Px
+    cx = data.c @ x
+    by = data.b @ y if data.p > 0 else jnp.asarray(0.0, x.dtype)
+    hlzl = data.h_l @ vars.z_l if data.m > 0 else jnp.asarray(0.0, x.dtype)
+    huzu = data.h_u @ vars.z_u if data.m > 0 else jnp.asarray(0.0, x.dtype)
+    xlzbl = data.x_l @ vars.z_bl
+    xuzbu = data.x_u @ vars.z_bu
+
+    primal_obj = 0.5 * xPx + cx
+    dual_obj = -0.5 * xPx - by + hlzl - huzu + xlzbl - xuzbu
+    gap_rel_norm = c_inv * jnp.max(
+        jnp.stack(
+            [jnp.abs(xPx), jnp.abs(cx), jnp.abs(by), jnp.abs(hlzl),
+             jnp.abs(huzu), jnp.abs(xlzbl), jnp.abs(xuzbu)]
+        )
+    )
+    duality_gap = jnp.abs(primal_obj - dual_obj) * c_inv
+    primal_obj = primal_obj * c_inv
+    dual_obj = dual_obj * c_inv
+    duality_gap_rel = duality_gap / jnp.maximum(1.0, gap_rel_norm)
+
+    # dual residual (solver.hpp:1018-1032)
+    work_x = ATy + GTdz
+    work_x = work_x - jnp.where(
+        data.xl_mask, data.x_b_scaling * vars.z_bl, 0.0
+    )
+    work_x = work_x + jnp.where(
+        data.xu_mask, data.x_b_scaling * vars.z_bu, 0.0
+    )
+    dual_rel = jnp.maximum(dual_rel, _inf_norm(data.c * ud_x))
+    dual_rel = jnp.maximum(dual_rel, _inf_norm(work_x * ud_x))
+    res_x = -Px - data.c - work_x
+
+    # primal residuals (solver.hpp:1034-1095)
+    d_y_inv = 1.0 / sc.d_y
+    d_z_inv = 1.0 / sc.d_z
+    d_b_inv = 1.0 / sc.d_b
+
+    primal_rel = jnp.maximum(_inf_norm(Ax * d_y_inv), _inf_norm(data.b * d_y_inv))
+    res_y = data.b - Ax
+
+    res_z_l = jnp.where(data.hl_mask, Gx - data.h_l - vars.s_l, 0.0)
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(Gx * d_z_inv, data.hl_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.h_l * d_z_inv, data.hl_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_l * d_z_inv, data.hl_mask))
+
+    res_z_u = jnp.where(data.hu_mask, -Gx + data.h_u - vars.s_u, 0.0)
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(-Gx * d_z_inv, data.hu_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.h_u * d_z_inv, data.hu_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_u * d_z_inv, data.hu_mask))
+
+    bx = data.x_b_scaling * x
+    res_z_bl = jnp.where(data.xl_mask, bx - data.x_l - vars.s_bl, 0.0)
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(bx * d_b_inv, data.xl_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.x_l * d_b_inv, data.xl_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_bl * d_b_inv, data.xl_mask))
+
+    res_z_bu = jnp.where(data.xu_mask, -bx + data.x_u - vars.s_bu, 0.0)
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(-bx * d_b_inv, data.xu_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.x_u * d_b_inv, data.xu_mask))
+    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_bu * d_b_inv, data.xu_mask))
+
+    res_nr = BasicVars(res_x, res_y, res_z_l, res_z_u, res_z_bl, res_z_bu)
+
+    primal_res = _primal_res_norm(data, sc, res_nr)
+    dual_res = _inf_norm(res_x * ud_x)
+
+    info = info.replace(
+        prev_primal_res=info.primal_res,
+        prev_dual_res=info.dual_res,
+        primal_res=primal_res,
+        primal_res_rel=primal_res / jnp.maximum(1.0, primal_rel),
+        dual_res=dual_res,
+        dual_res_rel=dual_res / jnp.maximum(1.0, dual_rel),
+        primal_obj=primal_obj,
+        dual_obj=dual_obj,
+        duality_gap=duality_gap,
+        duality_gap_rel=duality_gap_rel,
+    )
+    return res_nr, info
+
+
+def _primal_res_norm(data: QPData, sc: Scaling, r) -> jax.Array:
+    """Infinity norm of the unscaled primal residual (solver.hpp:1130-1146).
+
+    Box contributions are signed per-index maxima, mirroring the reference.
+    """
+    inf = _inf_norm(r.y / sc.d_y)
+    inf = jnp.maximum(inf, _inf_norm(r.z_l / sc.d_z))
+    inf = jnp.maximum(inf, _inf_norm(r.z_u / sc.d_z))
+    inf = jnp.maximum(inf, _masked_signed_max(r.z_bl / sc.d_b, data.xl_mask))
+    inf = jnp.maximum(inf, _masked_signed_max(r.z_bu / sc.d_b, data.xu_mask))
+    return inf
+
+
+def residuals_r(
+    data: QPData, sc: Scaling, vars: Vars, prox: BasicVars,
+    res_nr: BasicVars, res: Vars, info: Info,
+) -> tuple[Vars, Info]:
+    """Regularized residuals + proximal infeasibility measures
+    (solver.hpp:1107-1128)."""
+    rho, delta = info.rho, info.delta
+    res = res.replace(
+        x=res_nr.x - rho * (vars.x - prox.x),
+        y=res_nr.y - delta * (prox.y - vars.y),
+        z_l=res_nr.z_l - delta * (prox.z_l - vars.z_l),
+        z_u=res_nr.z_u - delta * (prox.z_u - vars.z_u),
+        z_bl=res_nr.z_bl - delta * (prox.z_bl - vars.z_bl),
+        z_bu=res_nr.z_bu - delta * (prox.z_bu - vars.z_bu),
+    )
+
+    primal_rel_scaling = jnp.where(
+        info.primal_res_rel > 0, info.primal_res / info.primal_res_rel, 1.0
+    )
+    dual_rel_scaling = jnp.where(
+        info.dual_res_rel > 0, info.dual_res / info.dual_res_rel, 1.0
+    )
+
+    c_inv = 1.0 / sc.c
+    primal_res_reg = _primal_res_norm(data, sc, res)
+    dual_res_reg = _inf_norm(res.x * sc.d_x * c_inv)
+
+    # primal_prox_inf (solver.hpp:1166-1182): dual-variable drift from the
+    # proximal center, in unscaled dual units.
+    ppi = _inf_norm((prox.y - vars.y) * sc.d_y * c_inv)
+    ppi = jnp.maximum(ppi, _inf_norm((prox.z_l - vars.z_l) * sc.d_z * c_inv))
+    ppi = jnp.maximum(ppi, _inf_norm((prox.z_u - vars.z_u) * sc.d_z * c_inv))
+    ppi = jnp.maximum(
+        ppi, _masked_signed_max((prox.z_bl - vars.z_bl) * sc.d_b * c_inv, data.xl_mask)
+    )
+    ppi = jnp.maximum(
+        ppi, _masked_signed_max((prox.z_bu - vars.z_bu) * sc.d_b * c_inv, data.xu_mask)
+    )
+
+    dpi = _inf_norm((vars.x - prox.x) * sc.d_x)
+
+    info = info.replace(
+        primal_res_reg=primal_res_reg,
+        primal_res_reg_rel=primal_res_reg / primal_rel_scaling,
+        dual_res_reg=dual_res_reg,
+        dual_res_reg_rel=dual_res_reg / dual_rel_scaling,
+        primal_prox_inf=ppi * info.delta,
+        dual_prox_inf=dpi * info.rho,
+    )
+    return res, info
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _bound_count(data: QPData):
+    return (
+        jnp.sum(data.hl_mask)
+        + jnp.sum(data.hu_mask)
+        + jnp.sum(data.xl_mask)
+        + jnp.sum(data.xu_mask)
+    ).astype(data.P.dtype)
+
+
+def calculate_mu(data: QPData, v: Vars) -> jax.Array:
+    """Complementarity measure (solver.hpp:884-891).  Inactive entries hold
+    exact zeros, so the plain dot products match the reference's
+    index-compressed ones."""
+    total = v.s_l @ v.z_l + v.s_u @ v.z_u + v.s_bl @ v.z_bl + v.s_bu @ v.z_bu
+    return total / _bound_count(data)
+
+
+def calculate_step(v: Vars, step: Vars, data: QPData):
+    """Fraction-to-the-boundary min-ratio test (solver.hpp:893-958), as four
+    masked vector reductions (the reference parallelizes this loop with
+    OpenMP; on TPU it's a single fused VPU pass)."""
+
+    def ratio(val, stp, mask):
+        neg = jnp.logical_and(mask, stp < 0)
+        return jnp.min(
+            jnp.where(neg, -val / jnp.where(neg, stp, -1.0), 1.0), initial=1.0
+        )
+
+    alpha_s = ratio(v.s_l, step.s_l, data.hl_mask)
+    alpha_s = jnp.minimum(alpha_s, ratio(v.s_u, step.s_u, data.hu_mask))
+    alpha_s = jnp.minimum(alpha_s, ratio(v.s_bl, step.s_bl, data.xl_mask))
+    alpha_s = jnp.minimum(alpha_s, ratio(v.s_bu, step.s_bu, data.xu_mask))
+
+    alpha_z = ratio(v.z_l, step.z_l, data.hl_mask)
+    alpha_z = jnp.minimum(alpha_z, ratio(v.z_u, step.z_u, data.hu_mask))
+    alpha_z = jnp.minimum(alpha_z, ratio(v.z_bl, step.z_bl, data.xl_mask))
+    alpha_z = jnp.minimum(alpha_z, ratio(v.z_bu, step.z_bu, data.xu_mask))
+    return alpha_s, alpha_z
+
+
+def factor_ladder(
+    data: QPData, settings: Settings, P_diag, vars: Vars, info: Info, use_ir
+):
+    """Factor with the numerics-recovery ladder (solver.hpp:446-465, 687-708):
+    on failure first enable iterative refinement, then boost rho/delta x100 up
+    to max_factor_retires times, else give up (-> NUMERICS).
+
+    Returns (ks, info, use_ir, failed).
+    """
+
+    def attempt(rho, delta, ir):
+        ks = kkt.compute_scalings(data, settings, vars, rho, delta, ir, P_diag)
+        return kkt.factor(data, ks)
+
+    ks, ok = attempt(info.rho, info.delta, use_ir)
+    carry = (info.rho, info.delta, info.factor_retires, info.reg_limit,
+             use_ir, ks, ok, jnp.asarray(False))
+
+    def cond(c):
+        ok, failed = c[6], c[7]
+        return jnp.logical_and(~ok, ~failed)
+
+    def body(c):
+        rho, delta, retries, reg_limit, ir, ks, ok, failed = c
+        can_boost = retries < settings.max_factor_retires
+        boost = jnp.logical_and(ir, can_boost)
+        failed = jnp.logical_and(ir, ~can_boost)
+        rho = jnp.where(boost, rho * 100.0, rho)
+        delta = jnp.where(boost, delta * 100.0, delta)
+        reg_limit = jnp.where(
+            boost, jnp.minimum(10.0 * reg_limit, settings.eps_abs), reg_limit
+        )
+        retries = jnp.where(boost, retries + 1, retries)
+        ir_new = jnp.asarray(True)
+
+        def refactor(_):
+            return attempt(rho, delta, ir_new)
+
+        ks, ok = lax.cond(failed, lambda _: (ks, ok), refactor, None)
+        return (rho, delta, retries, reg_limit, ir_new, ks, ok, failed)
+
+    rho, delta, retries, reg_limit, use_ir, ks, ok, failed = lax.while_loop(
+        cond, body, carry
+    )
+    info = info.replace(
+        rho=rho,
+        delta=delta,
+        # reference resets the retry counter after success (solver.hpp:466,709)
+        factor_retires=jnp.where(failed, retries, jnp.zeros_like(retries)),
+        reg_limit=reg_limit,
+    )
+    return ks, info, use_ir, failed
+
+
+# ---------------------------------------------------------------------------
+# init (solver.hpp:398-577)
+# ---------------------------------------------------------------------------
+
+def _init_state(
+    data: QPData, sc: Scaling, settings: Settings, has_cone: bool
+) -> tuple[IPMState, jax.Array]:
+    dtype = data.P.dtype
+    n, p, m = data.n, data.p, data.m
+
+    info = init_info(settings, dtype)
+    P_diag = jnp.diagonal(data.P)
+
+    one_m_l = jnp.where(data.hl_mask, 1.0, 0.0).astype(dtype)
+    one_m_u = jnp.where(data.hu_mask, 1.0, 0.0).astype(dtype)
+    one_n_l = jnp.where(data.xl_mask, 1.0, 0.0).astype(dtype)
+    one_n_u = jnp.where(data.xu_mask, 1.0, 0.0).astype(dtype)
+
+    vars0 = Vars(
+        x=jnp.zeros(n, dtype), y=jnp.zeros(p, dtype),
+        z_l=one_m_l, z_u=one_m_u, z_bl=one_n_l, z_bu=one_n_u,
+        s_l=one_m_l, s_u=one_m_u, s_bl=one_n_l, s_bu=one_n_u,
+    )
+
+    use_ir = jnp.asarray(settings.iterative_refinement_always_enabled)
+    ks, info, use_ir, failed = factor_ladder(
+        data, settings, P_diag, vars0, info, use_ir
+    )
+
+    # first KKT solve from the raw problem vectors (solver.hpp:473-492)
+    res = Vars(
+        x=-data.c,
+        y=data.b,
+        z_l=jnp.where(data.hl_mask, -data.h_l, 0.0),
+        z_u=jnp.where(data.hu_mask, data.h_u, 0.0),
+        z_bl=jnp.where(data.xl_mask, -data.x_l, 0.0),
+        z_bu=jnp.where(data.xu_mask, data.x_u, 0.0),
+        s_l=jnp.zeros(m, dtype), s_u=jnp.zeros(m, dtype),
+        s_bl=jnp.zeros(n, dtype), s_bu=jnp.zeros(n, dtype),
+    )
+    vars, _ = kkt.solve(data, settings, ks, res)
+
+    if has_cone:
+        # shift slacks/duals strictly positive and mu-recenter
+        # (solver.hpp:504-570)
+        neg_mins = jnp.stack([
+            -jnp.min(vars.s_l, initial=0.0), -jnp.min(vars.s_u, initial=0.0),
+            -jnp.min(vars.s_bl, initial=0.0), -jnp.min(vars.s_bu, initial=0.0),
+        ])
+        delta_s = jnp.maximum(0.0, jnp.max(neg_mins))
+        neg_mins_z = jnp.stack([
+            -jnp.min(vars.z_l, initial=0.0), -jnp.min(vars.z_u, initial=0.0),
+            -jnp.min(vars.z_bl, initial=0.0), -jnp.min(vars.z_bu, initial=0.0),
+        ])
+        delta_z = jnp.maximum(0.0, jnp.max(neg_mins_z))
+
+        def shift(v, d, mask):
+            return jnp.where(mask, v + d, 0.0)
+
+        vars = vars.replace(
+            s_l=shift(vars.s_l, delta_s, data.hl_mask),
+            s_u=shift(vars.s_u, delta_s, data.hu_mask),
+            s_bl=shift(vars.s_bl, delta_s, data.xl_mask),
+            s_bu=shift(vars.s_bu, delta_s, data.xu_mask),
+            z_l=shift(vars.z_l, delta_z, data.hl_mask),
+            z_u=shift(vars.z_u, delta_z, data.hu_mask),
+            z_bl=shift(vars.z_bl, delta_z, data.xl_mask),
+            z_bu=shift(vars.z_bu, delta_z, data.xu_mask),
+        )
+
+        mu = jnp.maximum(calculate_mu(data, vars), 1e-10)
+
+        def recenter(z, mask):
+            c0 = z - delta_z
+            z_new = 0.5 * (c0 + jnp.sqrt(c0 * c0 + 4.0 * mu))
+            return jnp.where(mask, z_new, 0.0), jnp.where(mask, z_new - c0, 0.0)
+
+        z_l, s_l = recenter(vars.z_l, data.hl_mask)
+        z_u, s_u = recenter(vars.z_u, data.hu_mask)
+        z_bl, s_bl = recenter(vars.z_bl, data.xl_mask)
+        z_bu, s_bu = recenter(vars.z_bu, data.xu_mask)
+        vars = vars.replace(
+            z_l=z_l, z_u=z_u, z_bl=z_bl, z_bu=z_bu,
+            s_l=s_l, s_u=s_u, s_bl=s_bl, s_bu=s_bu,
+        )
+        info = info.replace(mu=calculate_mu(data, vars))
+
+    prox = BasicVars(
+        x=vars.x, y=vars.y, z_l=vars.z_l, z_u=vars.z_u,
+        z_bl=vars.z_bl, z_bu=vars.z_bu,
+    )
+
+    res_nr, info = residuals_nr(data, sc, vars, info)
+    # iter == 0 bootstrap of prev residuals (solver.hpp:581-586)
+    info = info.replace(
+        prev_primal_res=info.primal_res, prev_dual_res=info.dual_res
+    )
+
+    info = info.replace(
+        status=jnp.where(
+            failed, jnp.asarray(int(Status.NUMERICS), jnp.int32), info.status
+        )
+    )
+
+    state = IPMState(
+        vars=vars, prox=prox, res_nr=res_nr, res=res, ks=ks, info=info,
+        use_ir=use_ir, P_diag=P_diag,
+    )
+    return state, failed
+
+
+# ---------------------------------------------------------------------------
+# one IPM iteration (solver.hpp:579-878)
+# ---------------------------------------------------------------------------
+
+def _check_termination(data, sc, settings, st: IPMState) -> IPMState:
+    info = st.info
+    converged = jnp.logical_and(
+        jnp.logical_or(
+            info.primal_res < settings.eps_abs,
+            info.primal_res_rel < settings.eps_rel,
+        ),
+        jnp.logical_or(
+            info.dual_res < settings.eps_abs, info.dual_res_rel < settings.eps_rel
+        ),
+    )
+    if settings.check_duality_gap:
+        converged = jnp.logical_and(
+            converged,
+            jnp.logical_or(
+                info.duality_gap < settings.eps_duality_gap_abs,
+                info.duality_gap_rel < settings.eps_duality_gap_rel,
+            ),
+        )
+
+    res, info = residuals_r(data, sc, st.vars, st.prox, st.res_nr, st.res, info)
+
+    primal_inf = jnp.logical_and(
+        info.no_dual_update
+        > min(5, settings.reg_finetune_dual_update_threshold),
+        jnp.logical_and(
+            info.primal_prox_inf > settings.infeasibility_threshold,
+            jnp.logical_or(
+                info.primal_res_reg < settings.eps_abs,
+                info.primal_res_reg_rel < settings.eps_rel,
+            ),
+        ),
+    )
+    dual_inf = jnp.logical_and(
+        info.no_primal_update
+        > min(5, settings.reg_finetune_primal_update_threshold),
+        jnp.logical_and(
+            info.dual_prox_inf > settings.infeasibility_threshold,
+            jnp.logical_or(
+                info.dual_res_reg < settings.eps_abs,
+                info.dual_res_reg_rel < settings.eps_rel,
+            ),
+        ),
+    )
+
+    status = jnp.where(
+        converged,
+        int(Status.SOLVED),
+        jnp.where(
+            primal_inf,
+            int(Status.PRIMAL_INFEASIBLE),
+            jnp.where(dual_inf, int(Status.DUAL_INFEASIBLE), int(Status.RUNNING)),
+        ),
+    ).astype(jnp.int32)
+    return st.replace(res=res, info=info.replace(status=status))
+
+
+def _iteration(data, sc, settings, has_cone, st: IPMState) -> IPMState:
+    info = st.info.replace(iter=st.info.iter + 1)
+    vars = st.vars
+    eps = float(jnp.finfo(data.P.dtype).eps)
+
+    # boundary guard (solver.hpp:634-666): per-entry shift for inequality
+    # duals, whole-vector shift for box duals.
+    if has_cone:
+        shifted_l = jnp.logical_and(data.hl_mask, vars.z_l < eps)
+        shifted_u = jnp.logical_and(data.hu_mask, vars.z_u < eps)
+        z_l = jnp.where(shifted_l, vars.z_l + eps, vars.z_l)
+        z_u = jnp.where(shifted_u, vars.z_u + eps, vars.z_u)
+        bl_any = jnp.any(jnp.logical_and(data.xl_mask, vars.z_bl < eps))
+        bu_any = jnp.any(jnp.logical_and(data.xu_mask, vars.z_bu < eps))
+        z_bl = jnp.where(
+            jnp.logical_and(bl_any, data.xl_mask), vars.z_bl + eps, vars.z_bl
+        )
+        z_bu = jnp.where(
+            jnp.logical_and(bu_any, data.xu_mask), vars.z_bu + eps, vars.z_bu
+        )
+        any_shift = jnp.any(shifted_l) | jnp.any(shifted_u) | bl_any | bu_any
+        vars = vars.replace(z_l=z_l, z_u=z_u, z_bl=z_bl, z_bu=z_bu)
+        info = info.replace(
+            mu=jnp.where(any_shift, calculate_mu(data, vars), info.mu)
+        )
+
+    # regularization fine-tuning (solver.hpp:668-681)
+    finetune_trigger = jnp.logical_or(
+        jnp.logical_and(
+            info.no_primal_update > settings.reg_finetune_primal_update_threshold,
+            jnp.logical_and(
+                info.rho == info.reg_limit,
+                info.reg_limit != settings.reg_finetune_lower_limit,
+            ),
+        ),
+        jnp.logical_and(
+            info.no_dual_update > settings.reg_finetune_dual_update_threshold,
+            jnp.logical_and(
+                info.delta == info.reg_limit,
+                info.reg_limit != settings.reg_finetune_lower_limit,
+            ),
+        ),
+    )
+    finetune = jnp.logical_and(
+        finetune_trigger,
+        jnp.logical_and(
+            info.dual_prox_inf < settings.infeasibility_threshold,
+            info.primal_prox_inf < settings.infeasibility_threshold,
+        ),
+    )
+    info = info.replace(
+        reg_limit=jnp.where(
+            finetune, settings.reg_finetune_lower_limit, info.reg_limit
+        ),
+        no_primal_update=jnp.where(finetune, 0, info.no_primal_update),
+        no_dual_update=jnp.where(finetune, 0, info.no_dual_update),
+    )
+
+    # factorization with recovery ladder
+    ks, info, use_ir, failed = factor_ladder(
+        data, settings, st.P_diag, vars, info, st.use_ir
+    )
+    st = st.replace(vars=vars, ks=ks, info=info, use_ir=use_ir)
+
+    def numerics(st):
+        return st.replace(
+            info=st.info.replace(
+                status=jnp.asarray(int(Status.NUMERICS), jnp.int32)
+            )
+        )
+
+    def proceed(st):
+        # recompute regularized residuals with the (possibly boosted)
+        # rho/delta (solver.hpp:716-718); also refreshes them after the
+        # boundary shift above.
+        res, info = residuals_r(
+            data, sc, st.vars, st.prox, st.res_nr, st.res, st.info
+        )
+        st = st.replace(res=res, info=info)
+        if has_cone:
+            return _centering_step(data, sc, settings, st)
+        return _equality_only_step(data, sc, settings, st)
+
+    return lax.cond(failed, numerics, proceed, st)
+
+
+def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
+    """Mehrotra predictor-corrector step (solver.hpp:720-829)."""
+    vars, res, info, ks = st.vars, st.res, st.info, st.ks
+
+    # ---- predictor (solver.hpp:722-737)
+    res = res.replace(
+        s_l=-vars.s_l * vars.z_l,
+        s_u=-vars.s_u * vars.z_u,
+        s_bl=-vars.s_bl * vars.z_bl,
+        s_bu=-vars.s_bu * vars.z_bu,
+    )
+    step, _ = kkt.solve(data, settings, ks, res)
+
+    alpha_s, alpha_z = calculate_step(vars, step, data)
+    alpha_s = alpha_s * settings.tau
+    alpha_z = alpha_z * settings.tau
+
+    # centering parameter sigma (solver.hpp:747-753)
+    sigma = (vars.s_l + alpha_s * step.s_l) @ (vars.z_l + alpha_z * step.z_l)
+    sigma += (vars.s_u + alpha_s * step.s_u) @ (vars.z_u + alpha_z * step.z_u)
+    sigma += (vars.s_bl + alpha_s * step.s_bl) @ (vars.z_bl + alpha_z * step.z_bl)
+    sigma += (vars.s_bu + alpha_s * step.s_bu) @ (vars.z_bu + alpha_z * step.z_bu)
+    sigma = sigma / (info.mu * _bound_count(data))
+    sigma = jnp.clip(sigma, 0.0, 1.0) ** 3
+
+    # ---- corrector (solver.hpp:755-769)
+    sm = sigma * info.mu
+    res = res.replace(
+        s_l=res.s_l + jnp.where(data.hl_mask, -step.s_l * step.z_l + sm, 0.0),
+        s_u=res.s_u + jnp.where(data.hu_mask, -step.s_u * step.z_u + sm, 0.0),
+        s_bl=res.s_bl + jnp.where(data.xl_mask, -step.s_bl * step.z_bl + sm, 0.0),
+        s_bu=res.s_bu + jnp.where(data.xu_mask, -step.s_bu * step.z_bu + sm, 0.0),
+    )
+    step, _ = kkt.solve(data, settings, ks, res)
+
+    alpha_s, alpha_z = calculate_step(vars, step, data)
+    primal_step = alpha_s * settings.tau
+    dual_step = alpha_z * settings.tau
+
+    # ---- update (solver.hpp:778-792)
+    vars = Vars(
+        x=vars.x + primal_step * step.x,
+        y=vars.y + dual_step * step.y,
+        z_l=vars.z_l + dual_step * step.z_l,
+        z_u=vars.z_u + dual_step * step.z_u,
+        z_bl=vars.z_bl + dual_step * step.z_bl,
+        z_bu=vars.z_bu + dual_step * step.z_bu,
+        s_l=vars.s_l + primal_step * step.s_l,
+        s_u=vars.s_u + primal_step * step.s_u,
+        s_bl=vars.s_bl + primal_step * step.s_bl,
+        s_bu=vars.s_bu + primal_step * step.s_bu,
+    )
+
+    mu_prev = info.mu
+    mu = calculate_mu(data, vars)
+    mu_rate = jnp.maximum(0.0, (mu_prev - mu) / mu_prev)
+    info = info.replace(
+        mu=mu, sigma=sigma, primal_step=primal_step, dual_step=dual_step
+    )
+
+    res_nr, info = residuals_nr(data, sc, vars, info)
+
+    # ---- proximal parameter updates (solver.hpp:794-829)
+    prox = st.prox
+    dual_progress = jnp.logical_or(
+        info.dual_res < 0.95 * info.prev_dual_res,
+        jnp.logical_or(
+            jnp.logical_or(
+                info.dual_res < settings.eps_abs,
+                info.dual_res_rel < settings.eps_rel,
+            ),
+            jnp.logical_and(
+                info.rho == settings.reg_finetune_lower_limit,
+                info.dual_prox_inf < settings.infeasibility_threshold,
+            ),
+        ),
+    )
+    new_prox_x = jnp.where(dual_progress, vars.x, prox.x)
+    rho_fast = jnp.maximum(info.reg_limit, (1.0 - mu_rate) * info.rho)
+    rho_slow_ok = jnp.logical_or(
+        info.iter < 5, info.dual_prox_inf < settings.infeasibility_threshold
+    )
+    rho_slow = jnp.where(
+        rho_slow_ok,
+        jnp.maximum(info.reg_limit, (1.0 - 0.666 * mu_rate) * info.rho),
+        info.rho,
+    )
+    info = info.replace(
+        rho=jnp.where(dual_progress, rho_fast, rho_slow),
+        no_primal_update=jnp.where(
+            dual_progress, info.no_primal_update, info.no_primal_update + 1
+        ),
+    )
+
+    primal_progress = jnp.logical_or(
+        info.primal_res < 0.95 * info.prev_primal_res,
+        jnp.logical_or(
+            jnp.logical_or(
+                info.primal_res < settings.eps_abs,
+                info.primal_res_rel < settings.eps_rel,
+            ),
+            jnp.logical_and(
+                info.delta == settings.reg_finetune_lower_limit,
+                info.primal_prox_inf < settings.infeasibility_threshold,
+            ),
+        ),
+    )
+
+    def upd(new, old):
+        return jnp.where(primal_progress, new, old)
+
+    prox = prox.replace(
+        x=new_prox_x,
+        y=upd(vars.y, prox.y),
+        z_l=upd(vars.z_l, prox.z_l),
+        z_u=upd(vars.z_u, prox.z_u),
+        z_bl=upd(vars.z_bl, prox.z_bl),
+        z_bu=upd(vars.z_bu, prox.z_bu),
+    )
+    delta_fast = jnp.maximum(info.reg_limit, (1.0 - mu_rate) * info.delta)
+    delta_slow_ok = jnp.logical_or(
+        info.iter < 5, info.primal_prox_inf < settings.infeasibility_threshold
+    )
+    delta_slow = jnp.where(
+        delta_slow_ok,
+        jnp.maximum(info.reg_limit, (1.0 - 0.666 * mu_rate) * info.delta),
+        info.delta,
+    )
+    info = info.replace(
+        delta=jnp.where(primal_progress, delta_fast, delta_slow),
+        no_dual_update=jnp.where(
+            primal_progress, info.no_dual_update, info.no_dual_update + 1
+        ),
+    )
+
+    return st.replace(vars=vars, prox=prox, res_nr=res_nr, res=res, info=info)
+
+
+def _equality_only_step(data, sc, settings, st: IPMState) -> IPMState:
+    """Full-step path when there are no inequalities or bounds
+    (solver.hpp:831-877)."""
+    vars, res, info, ks = st.vars, st.res, st.info, st.ks
+
+    step, _ = kkt.solve(data, settings, ks, res)
+    vars = vars.replace(x=vars.x + step.x, y=vars.y + step.y)
+    info = info.replace(primal_step=jnp.asarray(1.0, vars.x.dtype),
+                        dual_step=jnp.asarray(1.0, vars.x.dtype))
+
+    res_nr, info = residuals_nr(data, sc, vars, info)
+
+    prox = st.prox
+    dual_progress = jnp.logical_or(
+        info.dual_res < 0.95 * info.prev_dual_res,
+        jnp.logical_or(
+            info.dual_res < settings.eps_abs,
+            info.dual_res_rel < settings.eps_rel,
+        ),
+    )
+    rho_slow_ok = jnp.logical_or(
+        info.iter < 5, info.dual_prox_inf < settings.infeasibility_threshold
+    )
+    info = info.replace(
+        rho=jnp.where(
+            dual_progress,
+            jnp.maximum(info.reg_limit, 0.1 * info.rho),
+            jnp.where(
+                rho_slow_ok,
+                jnp.maximum(info.reg_limit, 0.5 * info.rho),
+                info.rho,
+            ),
+        ),
+        no_primal_update=jnp.where(
+            dual_progress, info.no_primal_update, info.no_primal_update + 1
+        ),
+    )
+    prox = prox.replace(x=jnp.where(dual_progress, vars.x, prox.x))
+
+    primal_progress = jnp.logical_or(
+        info.primal_res < 0.95 * info.prev_primal_res,
+        jnp.logical_or(
+            info.primal_res < settings.eps_abs,
+            info.primal_res_rel < settings.eps_rel,
+        ),
+    )
+    delta_slow_ok = jnp.logical_or(
+        info.iter < 5, info.primal_prox_inf < settings.infeasibility_threshold
+    )
+    info = info.replace(
+        delta=jnp.where(
+            primal_progress,
+            jnp.maximum(info.reg_limit, 0.1 * info.delta),
+            jnp.where(
+                delta_slow_ok,
+                jnp.maximum(info.reg_limit, 0.5 * info.delta),
+                info.delta,
+            ),
+        ),
+        no_dual_update=jnp.where(
+            primal_progress, info.no_dual_update, info.no_dual_update + 1
+        ),
+    )
+    prox = prox.replace(y=jnp.where(primal_progress, vars.y, prox.y))
+
+    return st.replace(vars=vars, prox=prox, res_nr=res_nr, res=res, info=info)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def solve_scaled(
+    data: QPData, sc: Scaling, settings: Settings, has_cone: bool
+) -> Result:
+    """Run the IPM on already-equilibrated data; returns the *unscaled*
+    result (solver.hpp:109-112: solve_impl + unscale_results + restore_dual).
+    """
+    state, failed = _init_state(data, sc, settings, has_cone)
+
+    def cond(st):
+        return jnp.logical_and(
+            st.info.status == int(Status.RUNNING),
+            st.info.iter < settings.max_iter,
+        )
+
+    def body(st):
+        st = _check_termination(data, sc, settings, st)
+        return lax.cond(
+            st.info.status == int(Status.RUNNING),
+            lambda s: _iteration(data, sc, settings, has_cone, s),
+            lambda s: s,
+            st,
+        )
+
+    state = lax.while_loop(cond, body, state)
+
+    info = state.info
+    info = info.replace(
+        status=jnp.where(
+            info.status == int(Status.RUNNING),
+            jnp.asarray(int(Status.MAX_ITER_REACHED), jnp.int32),
+            info.status,
+        )
+    )
+
+    return _finalize(data, sc, state.vars, info)
+
+
+def _finalize(data: QPData, sc: Scaling, v: Vars, info: Info) -> Result:
+    """Unscale and restore the user-facing solution
+    (solver.hpp:1205-1259)."""
+    c_inv = 1.0 / sc.c
+    x = v.x * sc.d_x
+    y = v.y * sc.d_y * c_inv
+    z_l = v.z_l * sc.d_z * c_inv
+    z_u = v.z_u * sc.d_z * c_inv
+    s_l = v.s_l / sc.d_z
+    s_u = v.s_u / sc.d_z
+    z_bl = jnp.where(data.xl_mask, v.z_bl * sc.d_b * c_inv, 0.0)
+    z_bu = jnp.where(data.xu_mask, v.z_bu * sc.d_b * c_inv, 0.0)
+    s_bl = jnp.where(data.xl_mask, v.s_bl / sc.d_b, PIQP_INF)
+    s_bu = jnp.where(data.xu_mask, v.s_bu / sc.d_b, PIQP_INF)
+
+    # restore_dual (solver.hpp:1229-1241): inactive constraints report
+    # infinite slack.
+    s_l = jnp.where(z_l == 0, PIQP_INF, s_l)
+    s_u = jnp.where(z_u == 0, PIQP_INF, s_u)
+
+    return Result(
+        x=x, y=y, z_l=z_l, z_u=z_u, z_bl=z_bl, z_bu=z_bu,
+        s_l=s_l, s_u=s_u, s_bl=s_bl, s_bu=s_bu, info=info,
+    )

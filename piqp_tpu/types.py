@@ -1,0 +1,384 @@
+"""Core types for the PIQP-TPU solver.
+
+TPU-native re-design of the reference PIQP data layer
+(/root/reference/include/piqp/{typedefs,settings,variables,results}.hpp,
+/root/reference/include/piqp/dense/data.hpp).
+
+Key design deltas vs the reference (deliberate, TPU-first):
+
+- The reference compresses finite bounds into dynamically-sized index sets
+  (``h_l_idx``/``x_l_idx``, dense/data.hpp:40-49).  Dynamic sizes are hostile
+  to XLA; we instead carry *fixed-shape boolean masks* and keep every
+  per-bound vector full-length and index-aligned with its constraint/variable
+  axis.  Inactive entries are kept at exactly 0 and every computation is
+  gated with ``jnp.where``; this reproduces the reference semantics in which
+  inactive bounds contribute nothing to residuals, scalings or dot products
+  (solver.hpp:410-419, kkt_system.hpp:161-193).
+
+- Box duals/slacks (``z_bl``/``s_bl``/...) are full length-n vectors aligned
+  with x instead of compressed heads; the reference's ``restore_dual``
+  re-inflation (solver.hpp:1229-1259) becomes a trivial masked fill.
+
+- Everything is a registered pytree so the whole solver is jit/vmap/pjit
+  compatible; a batch of QPs is just a leading axis on every leaf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Values greater or equal in magnitude are treated as infinite
+# (mirrors PIQP_INF = 1e30, fwd.hpp:54).
+PIQP_INF = 1e30
+
+
+class Status(enum.IntEnum):
+    """Solver status codes (mirrors results.hpp:18-27)."""
+
+    SOLVED = 1
+    MAX_ITER_REACHED = -1
+    PRIMAL_INFEASIBLE = -2
+    DUAL_INFEASIBLE = -3
+    NUMERICS = -8
+    UNSOLVED = -9
+    INVALID_SETTINGS = -10
+    # Internal sentinel: the jitted loop is still running (never escapes).
+    RUNNING = 0
+
+
+def status_to_string(status: int) -> str:
+    try:
+        s = Status(int(status))
+    except ValueError:
+        return "unknown"
+    return {
+        Status.SOLVED: "solved",
+        Status.MAX_ITER_REACHED: "max iterations reached",
+        Status.PRIMAL_INFEASIBLE: "primal infeasible",
+        Status.DUAL_INFEASIBLE: "dual infeasible",
+        Status.NUMERICS: "numerics issue",
+        Status.UNSOLVED: "unsolved",
+        Status.INVALID_SETTINGS: "invalid settings",
+        Status.RUNNING: "running",
+    }[s]
+
+
+class KKTBackend(enum.Enum):
+    """KKT solver backends (analog of settings.hpp:18-26).
+
+    The TPU build condenses everything onto dense/structured device math:
+      - ``dense_cholesky``: fully condensed n-by-n system + Cholesky (MXU).
+      - ``multistage``: block-tridiagonal + arrow Cholesky over stages.
+    Sparse problems are routed through one of these after host-side analysis.
+    """
+
+    dense_cholesky = "dense_cholesky"
+    multistage = "multistage"
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """Solver settings (mirrors settings.hpp:42-107 field-for-field).
+
+    This is a hashable, frozen dataclass passed as a *static* argument to the
+    jitted solver: settings changes recompile, data changes do not.
+    """
+
+    rho_init: float = 1e-6
+    delta_init: float = 1e-4
+
+    eps_abs: float = 1e-8
+    eps_rel: float = 1e-9
+
+    check_duality_gap: bool = True
+    eps_duality_gap_abs: float = 1e-8
+    eps_duality_gap_rel: float = 1e-9
+
+    infeasibility_threshold: float = 0.9
+
+    reg_lower_limit: float = 1e-10
+    reg_finetune_lower_limit: float = 1e-13
+    reg_finetune_primal_update_threshold: int = 7
+    reg_finetune_dual_update_threshold: int = 7
+
+    max_iter: int = 250
+    max_factor_retires: int = 10
+
+    preconditioner_scale_cost: bool = False
+    preconditioner_reuse_on_update: bool = False
+    preconditioner_iter: int = 10
+
+    tau: float = 0.99
+
+    kkt_solver: KKTBackend = KKTBackend.dense_cholesky
+
+    iterative_refinement_always_enabled: bool = False
+    iterative_refinement_eps_abs: float = 1e-12
+    iterative_refinement_eps_rel: float = 1e-12
+    iterative_refinement_max_iter: int = 10
+    iterative_refinement_min_improvement_rate: float = 5.0
+    iterative_refinement_static_regularization_eps: float = 1e-8
+    iterative_refinement_static_regularization_rel: Optional[float] = None
+    # None -> eps(dtype)**2 at trace time (settings.hpp:79).
+
+    verbose: bool = False
+    compute_timings: bool = False
+
+    # --- TPU-specific extensions (no reference analog) ---
+    # Compute dtype for the solver; float64 gives reference parity,
+    # float32 + iterative refinement is the fast path.
+    dtype: str = "float64"
+
+    def verify(self) -> bool:
+        """Mirror of Settings::verify_settings (settings.hpp:84-106)."""
+        return (
+            self.rho_init > 0
+            and self.delta_init > 0
+            and self.eps_abs > 0
+            and self.eps_rel >= 0
+            and self.eps_duality_gap_abs > 0
+            and self.eps_duality_gap_rel >= 0
+            and self.infeasibility_threshold >= 0
+            and self.reg_lower_limit > 0
+            and self.reg_finetune_primal_update_threshold >= 0
+            and self.reg_finetune_dual_update_threshold >= 0
+            and self.max_iter > 0
+            and self.max_factor_retires > 0
+            and self.preconditioner_iter >= 0
+            and self.tau > 0
+            and self.tau <= 1
+            and self.iterative_refinement_eps_abs > 0
+            and self.iterative_refinement_eps_rel >= 0
+            and self.iterative_refinement_max_iter >= 0
+            and self.iterative_refinement_min_improvement_rate >= 1.0
+            and self.iterative_refinement_static_regularization_eps > 0
+            and (
+                self.iterative_refinement_static_regularization_rel is None
+                or self.iterative_refinement_static_regularization_rel >= 0
+            )
+        )
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def static_reg_rel(self) -> float:
+        if self.iterative_refinement_static_regularization_rel is not None:
+            return self.iterative_refinement_static_regularization_rel
+        eps = float(jnp.finfo(self.jnp_dtype).eps)
+        return eps * eps
+
+
+def _pytree_dataclass(cls):
+    """Register a dataclass whose fields are all array leaves as a pytree."""
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    cls.replace = dataclasses.replace
+    return cls
+
+
+@_pytree_dataclass
+class QPData:
+    """Canonical (dense, device-resident) problem data.
+
+    min 0.5 x'Px + c'x  s.t.  Ax = b,  h_l <= Gx <= h_u,
+                              x_l <= x_b_scaling * x <= x_u
+
+    Mirrors dense::Data (dense/data.hpp:22-217) with these deltas:
+      - P is stored as the *full symmetric* matrix (the reference stores the
+        upper triangle; full storage feeds the MXU directly).
+      - bounds are full-length with explicit masks; inactive entries are 0.
+      - rows of G whose bounds are both infinite have already been zeroed and
+        given the fake bounds [-1, 1] (both active), replicating
+        ``disable_inf_constraints`` (dense/data.hpp:144-169).
+    """
+
+    P: jax.Array  # (n, n) full symmetric
+    c: jax.Array  # (n,)
+    A: jax.Array  # (p, n)
+    b: jax.Array  # (p,)
+    G: jax.Array  # (m, n)
+    h_l: jax.Array  # (m,), 0 where ~hl_mask
+    h_u: jax.Array  # (m,), 0 where ~hu_mask
+    x_l: jax.Array  # (n,), 0 where ~xl_mask
+    x_u: jax.Array  # (n,), 0 where ~xu_mask
+    x_b_scaling: jax.Array  # (n,)
+    hl_mask: jax.Array  # (m,) bool
+    hu_mask: jax.Array  # (m,) bool
+    xl_mask: jax.Array  # (n,) bool
+    xu_mask: jax.Array  # (n,) bool
+
+    @property
+    def n(self) -> int:
+        return self.P.shape[-1]
+
+    @property
+    def p(self) -> int:
+        return self.A.shape[-2]
+
+    @property
+    def m(self) -> int:
+        return self.G.shape[-2]
+
+
+@_pytree_dataclass
+class BasicVars:
+    """(x, y, z_l, z_u, z_bl, z_bu) — mirrors BasicVariables (variables.hpp:16-62).
+
+    z_bl/z_bu are full length n (masked), unlike the reference's compressed
+    heads.
+    """
+
+    x: jax.Array  # (n,)
+    y: jax.Array  # (p,)
+    z_l: jax.Array  # (m,)
+    z_u: jax.Array  # (m,)
+    z_bl: jax.Array  # (n,)
+    z_bu: jax.Array  # (n,)
+
+
+@_pytree_dataclass
+class Vars:
+    """Full variables incl. slacks — mirrors Variables (variables.hpp:64-105)."""
+
+    x: jax.Array
+    y: jax.Array
+    z_l: jax.Array
+    z_u: jax.Array
+    z_bl: jax.Array
+    z_bu: jax.Array
+    s_l: jax.Array
+    s_u: jax.Array
+    s_bl: jax.Array
+    s_bu: jax.Array
+
+    def basic(self) -> BasicVars:
+        return BasicVars(self.x, self.y, self.z_l, self.z_u, self.z_bl, self.z_bu)
+
+
+def zero_basic_vars(n: int, p: int, m: int, dtype) -> BasicVars:
+    z = partial(jnp.zeros, dtype=dtype)
+    return BasicVars(z(n), z(p), z(m), z(m), z(n), z(n))
+
+
+def zero_vars(n: int, p: int, m: int, dtype) -> Vars:
+    z = partial(jnp.zeros, dtype=dtype)
+    return Vars(z(n), z(p), z(m), z(m), z(n), z(n), z(m), z(m), z(n), z(n))
+
+
+@_pytree_dataclass
+class Info:
+    """Per-solve metrics, mirrors Info (results.hpp:44-89).
+
+    All fields are scalars (possibly batched under vmap).  Timing fields are
+    filled host-side by the API wrapper.
+    """
+
+    status: jax.Array  # int32
+    iter: jax.Array  # int32
+    rho: jax.Array
+    delta: jax.Array
+    mu: jax.Array
+    sigma: jax.Array
+    primal_step: jax.Array
+    dual_step: jax.Array
+    primal_res: jax.Array
+    primal_res_rel: jax.Array
+    dual_res: jax.Array
+    dual_res_rel: jax.Array
+    primal_res_reg: jax.Array
+    primal_res_reg_rel: jax.Array
+    dual_res_reg: jax.Array
+    dual_res_reg_rel: jax.Array
+    primal_prox_inf: jax.Array
+    dual_prox_inf: jax.Array
+    prev_primal_res: jax.Array
+    prev_dual_res: jax.Array
+    primal_obj: jax.Array
+    dual_obj: jax.Array
+    duality_gap: jax.Array
+    duality_gap_rel: jax.Array
+    factor_retires: jax.Array  # int32
+    reg_limit: jax.Array
+    no_primal_update: jax.Array  # int32
+    no_dual_update: jax.Array  # int32
+
+
+def init_info(settings: Settings, dtype) -> Info:
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    i = lambda v: jnp.asarray(v, dtype=jnp.int32)
+    return Info(
+        status=i(Status.RUNNING),
+        iter=i(0),
+        rho=f(settings.rho_init),
+        delta=f(settings.delta_init),
+        mu=f(0.0),
+        sigma=f(0.0),
+        primal_step=f(0.0),
+        dual_step=f(0.0),
+        primal_res=f(jnp.inf),
+        primal_res_rel=f(jnp.inf),
+        dual_res=f(jnp.inf),
+        dual_res_rel=f(jnp.inf),
+        primal_res_reg=f(jnp.inf),
+        primal_res_reg_rel=f(jnp.inf),
+        dual_res_reg=f(jnp.inf),
+        dual_res_reg_rel=f(jnp.inf),
+        primal_prox_inf=f(0.0),
+        dual_prox_inf=f(0.0),
+        prev_primal_res=f(jnp.inf),
+        prev_dual_res=f(jnp.inf),
+        primal_obj=f(0.0),
+        dual_obj=f(0.0),
+        duality_gap=f(jnp.inf),
+        duality_gap_rel=f(jnp.inf),
+        factor_retires=i(0),
+        reg_limit=f(settings.reg_lower_limit),
+        no_primal_update=i(0),
+        no_dual_update=i(0),
+    )
+
+
+@_pytree_dataclass
+class Result:
+    """Solution + info, mirrors Result (results.hpp:91-95)."""
+
+    x: jax.Array
+    y: jax.Array
+    z_l: jax.Array
+    z_u: jax.Array
+    z_bl: jax.Array
+    z_bu: jax.Array
+    s_l: jax.Array
+    s_u: jax.Array
+    s_bl: jax.Array
+    s_bu: jax.Array
+    info: Info
+
+
+@_pytree_dataclass
+class Scaling:
+    """Ruiz equilibration state (analog of dense::RuizEquilibration's
+    c/delta/delta_b, dense/preconditioner.hpp:36-42).
+
+    d_x/d_y/d_z are the head(n)/segment(n,p)/tail(m) pieces of the
+    reference's single ``delta`` vector; d_b is ``delta_b``.
+    """
+
+    c: jax.Array  # scalar cost scaling
+    d_x: jax.Array  # (n,)
+    d_y: jax.Array  # (p,)
+    d_z: jax.Array  # (m,)
+    d_b: jax.Array  # (n,)
+
+
+def identity_scaling(n: int, p: int, m: int, dtype) -> Scaling:
+    o = partial(jnp.ones, dtype=dtype)
+    return Scaling(jnp.asarray(1.0, dtype=dtype), o(n), o(p), o(m), o(n))

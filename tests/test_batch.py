@@ -1,0 +1,62 @@
+"""Batched (vmapped) and sharded solve tests — the TPU-native headline path
+(SURVEY.md section 7 S5/S8 analogs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from piqp_tpu import Settings, Status, solve_dense
+from piqp_tpu.batch import prepare_batch, solve_batch
+from piqp_tpu.utils.random import dense_strongly_convex_qp
+
+from helpers import check_optimality
+
+BATCH = 8
+N, P, M = 16, 4, 8
+
+
+@pytest.fixture(scope="module")
+def problems():
+    return [dense_strongly_convex_qp(N, P, M, seed=100 + i) for i in range(BATCH)]
+
+
+def test_batch_solves_all(problems):
+    data = prepare_batch(problems)
+    res = solve_batch(data)
+    statuses = np.asarray(res.info.status)
+    assert np.all(statuses == int(Status.SOLVED)), statuses
+    for i, prob in enumerate(problems):
+        res_i = jax.tree.map(lambda x: x[i], res)
+        check_optimality(prob, res_i, tol=1e-6)
+
+
+def test_batch_matches_single(problems):
+    data = prepare_batch(problems)
+    res = solve_batch(data)
+    # the batched path must agree with the single-problem path bit-for-bit
+    # in exact arithmetic; allow tiny float drift from fusion differences
+    single = solve_dense(**problems[0])
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]), np.asarray(single.x), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_batch_sharded(problems):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"expected 8 virtual devices, got {n_dev}"
+    mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+    sharding = NamedSharding(mesh, PS("dp"))
+
+    data = prepare_batch(problems)
+    res = solve_batch(data, sharding=sharding)
+    statuses = np.asarray(res.info.status)
+    assert np.all(statuses == int(Status.SOLVED))
+    # agrees with the unsharded solve to solver accuracy (different executable
+    # => different reduction order; bitwise equality is not expected)
+    res2 = solve_batch(data)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res2.x), rtol=1e-6, atol=1e-7
+    )

@@ -1,0 +1,81 @@
+"""Corpus regression tests — Maros-Meszaros QPs and Netlib LP infeasibility
+certificates (mirrors /root/reference/tests/src/sparse/maros_meszaros_tests.cpp
+and netlib_lp_tests.cpp; gates recorded in BASELINE.md).
+
+The default run covers the small subset (n <= 256) padded to shared shape
+buckets so XLA compiles only a handful of executables; the full sweep is
+opt-in via PIQP_TPU_FULL_CORPUS=1.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from piqp_tpu import Settings, Status, solve_dense
+from piqp_tpu.utils.io import load_mat
+from piqp_tpu.utils.pad import pad_problem, unpad_result
+
+from helpers import check_optimality
+
+MAROS_DIR = "/root/reference/tests/data/maros_meszaros"
+NETLIB_INFEAS_DIR = "/root/reference/tests/data/netlib/infeas"
+NETLIB_FEAS_DIR = "/root/reference/tests/data/netlib/data"
+
+FULL = os.environ.get("PIQP_TPU_FULL_CORPUS", "0") == "1"
+MAX_N = 10**9 if FULL else 256
+
+# the small-subset instances (n <= 256), verified present in the corpus
+SMALL_MAROS = [
+    "HS21", "QPTEST", "ZECEVIC2", "TAME", "HS35", "HS35MOD", "HS76",
+    "HS268", "S268", "HS51", "HS52", "HS53", "DUALC2", "DUALC5", "DUALC8",
+    "DUALC1", "GENHS28", "LOTSCHD", "HS118", "KSIP", "QAFIRO", "DUAL4",
+    "QSHARE2B", "QPCBLEND", "DUAL1", "DUAL2", "QADLITTL", "CVXQP2_S",
+    "CVXQP1_S", "CVXQP3_S", "DUAL3", "DPKLO1", "QSCAGR7", "QISRAEL",
+    "QPCBOEI2", "QRECIPE", "VALUES", "QSC205", "QSHARE1B", "PRIMALC1",
+    "PRIMALC2", "QBRANDY",
+]
+
+
+def _solve_padded(prob, settings=Settings()):
+    padded, dims = pad_problem(prob, bucket=True)
+    res = solve_dense(**padded, settings=settings)
+    return unpad_result(res, dims), res
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize("name", SMALL_MAROS)
+def test_maros_meszaros(name):
+    prob = load_mat(os.path.join(MAROS_DIR, name + ".mat"))
+    view, res = _solve_padded(prob)
+    assert int(res.info.status) == Status.SOLVED, (
+        f"{name}: {int(res.info.status)} after {int(res.info.iter)} iters "
+        f"(primal_res={float(res.info.primal_res):.2e}, "
+        f"dual_res={float(res.info.dual_res):.2e})"
+    )
+
+
+NETLIB_INFEAS_SMALL = None  # filled lazily
+
+
+def _netlib_infeas_names():
+    names = []
+    for f in sorted(glob.glob(os.path.join(NETLIB_INFEAS_DIR, "*.mat"))):
+        names.append(os.path.basename(f)[:-4])
+    return names
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize("name", _netlib_infeas_names())
+def test_netlib_infeasible(name):
+    prob = load_mat(os.path.join(NETLIB_INFEAS_DIR, name + ".mat"))
+    n = prob["P"].shape[0]
+    if n > MAX_N:
+        pytest.skip(f"{name}: n={n} > {MAX_N} (set PIQP_TPU_FULL_CORPUS=1)")
+    settings = Settings(infeasibility_threshold=0.01)
+    view, res = _solve_padded(prob, settings)
+    status = int(res.info.status)
+    assert status in (Status.PRIMAL_INFEASIBLE, Status.DUAL_INFEASIBLE), (
+        f"{name}: status {status}"
+    )
