@@ -37,6 +37,8 @@ from .api import (  # noqa: E402
 )
 from .sparse import SparseSolver  # noqa: E402
 from .batch import solve_batch, prepare_batch  # noqa: E402
+from . import multistage  # noqa: E402  (registers the block backend dispatch)
+from .multistage import StageQPData  # noqa: E402
 
 __version__ = "0.1.0"
 

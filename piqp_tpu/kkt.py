@@ -24,11 +24,13 @@ Design deltas vs the reference (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+from functools import singledispatch
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import ops
 from .types import QPData, Settings, Vars, _pytree_dataclass
 
 
@@ -110,7 +112,7 @@ def compute_scalings(
     )
     reg = jnp.where(use_ir, reg, 0.0)
 
-    dtype = data.P.dtype
+    dtype = data.c.dtype
     return KKTState(
         rho=jnp.asarray(rho, dtype),
         delta=jnp.asarray(delta, dtype),
@@ -130,15 +132,25 @@ def compute_scalings(
         x_reg=x_reg + reg,
         z_reg=z_reg,
         z_reg_fact=z_reg + reg,
-        L=jnp.zeros_like(data.P),
+        L=empty_factor(data),
         use_ir=jnp.asarray(use_ir, bool),
     )
+
+
+@singledispatch
+def empty_factor(data):
+    """Placeholder for the backend factor pytree (filled by ``factor``)."""
+    raise NotImplementedError(type(data))
+
+
+@empty_factor.register
+def _(data: QPData):
+    return jnp.zeros_like(data.P)
 
 
 def assemble_condensed(data: QPData, ks: KKTState) -> jax.Array:
     """K = P + diag(x_reg) + (1/delta_reg) A'A + G' diag(1/z_reg_fact) G
     (dense/kkt.hpp:140-160)."""
-    n = data.n
     K = data.P + jnp.diag(ks.x_reg)
     if data.p > 0:
         K = K + (data.A.T @ data.A) / ks.delta_reg
@@ -148,7 +160,14 @@ def assemble_condensed(data: QPData, ks: KKTState) -> jax.Array:
     return K
 
 
-def factor(data: QPData, ks: KKTState) -> tuple[KKTState, jax.Array]:
+@singledispatch
+def factor(data, ks: KKTState) -> tuple[KKTState, jax.Array]:
+    """Factor the condensed system; backend chosen by data representation."""
+    raise NotImplementedError(type(data))
+
+
+@factor.register
+def _factor_dense(data: QPData, ks: KKTState):
     """Cholesky-factor the condensed matrix; ok=False when the factorization
     produced non-finite values (XLA's cholesky yields NaNs where Eigen's LLT
     reports failure, dense/kkt.hpp:82-83)."""
@@ -158,55 +177,67 @@ def factor(data: QPData, ks: KKTState) -> tuple[KKTState, jax.Array]:
     return ks.replace(L=L), ok
 
 
-def _backend_solve(data: QPData, ks: KKTState, rx, ry, rz):
-    """Dense condensed backend solve (dense/kkt.hpp:86-105)."""
-    v = rx
-    if data.m > 0:
-        v = v + data.G.T @ (rz / ks.z_reg_fact)
-    if data.p > 0:
-        v = v + data.A.T @ (ry / ks.delta_reg)
+@singledispatch
+def condensed_solve_x(data, ks: KKTState, v):
+    """Solve K lx = v with the factored condensed matrix."""
+    raise NotImplementedError(type(data))
 
+
+@condensed_solve_x.register
+def _(data: QPData, ks: KKTState, v):
     lx = lax.linalg.triangular_solve(ks.L, v, left_side=True, lower=True)
-    lx = lax.linalg.triangular_solve(
+    return lax.linalg.triangular_solve(
         ks.L, lx, left_side=True, lower=True, transpose_a=True
     )
 
-    ly = (data.A @ lx - ry) / ks.delta_reg if data.p > 0 else jnp.zeros_like(ry)
+
+def _backend_solve(data, ks: KKTState, rx, ry, rz):
+    """Condensed backend solve (dense/kkt.hpp:86-105); structure-agnostic
+    given the dispatched matvecs and K-solve."""
+    v = rx
+    if data.m > 0:
+        v = v + ops.GT_z(data, rz / ks.z_reg_fact)
+    if data.p > 0:
+        v = v + ops.AT_y(data, ry / ks.delta_reg)
+
+    lx = condensed_solve_x(data, ks, v)
+
+    ly = (ops.A_x(data, lx) - ry) / ks.delta_reg if data.p > 0 else jnp.zeros_like(ry)
     lz = (
-        (data.G @ lx - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
+        (ops.G_x(data, lx) - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
     )
     return lx, ly, lz
 
 
-def mul_condensed(data: QPData, ks: KKTState, lx, ly, lz):
+def mul_condensed(data, ks: KKTState, lx, ly, lz):
     """Condensed KKT matvec for refinement (kkt_system.hpp:507-519).
 
     Note: uses the (possibly statically regularized) x_reg but the
     *unregularized* delta and z_reg, exactly as the reference does.
     """
-    rx = data.P @ lx + ks.x_reg * lx
+    rx = ops.P_x(data, lx) + ks.x_reg * lx
     ry = jnp.zeros_like(ly)
     rz = jnp.zeros_like(lz)
     if data.p > 0:
-        rx = rx + data.A.T @ ly
-        ry = data.A @ lx - ks.delta * ly
+        rx = rx + ops.AT_y(data, ly)
+        ry = ops.A_x(data, lx) - ks.delta * ly
     if data.m > 0:
-        rx = rx + data.G.T @ lz
-        rz = data.G @ lx - ks.z_reg * lz
+        rx = rx + ops.GT_z(data, lz)
+        rz = ops.G_x(data, lx) - ks.z_reg * lz
     return rx, ry, rz
 
 
 def mul_full(data: QPData, ks: KKTState, lhs: Vars) -> Vars:
     """Full (uncondensed) 10-block regularized KKT matvec
     (kkt_system.hpp:392-425).  Used by tests as the round-trip oracle."""
-    rx = data.P @ lhs.x + ks.rho * lhs.x
+    rx = ops.P_x(data, lhs.x) + ks.rho * lhs.x
     ry = jnp.zeros_like(lhs.y)
     if data.p > 0:
-        rx = rx + data.A.T @ lhs.y
-        ry = data.A @ lhs.x - ks.delta * lhs.y
-    Gx = data.G @ lhs.x if data.m > 0 else jnp.zeros_like(lhs.z_l)
+        rx = rx + ops.AT_y(data, lhs.y)
+        ry = ops.A_x(data, lhs.x) - ks.delta * lhs.y
+    Gx = ops.G_x(data, lhs.x) if data.m > 0 else jnp.zeros_like(lhs.z_l)
     if data.m > 0:
-        rx = rx + data.G.T @ (lhs.z_u - lhs.z_l)
+        rx = rx + ops.GT_z(data, lhs.z_u - lhs.z_l)
     rz_l = jnp.where(data.hl_mask, -Gx + lhs.s_l - ks.delta * lhs.z_l, 0.0)
     rz_u = jnp.where(data.hu_mask, Gx + lhs.s_u - ks.delta * lhs.z_u, 0.0)
     # complementarity rows: S dz + Z ds (ks holds s and 1/z at factor time)

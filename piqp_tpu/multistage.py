@@ -1,0 +1,716 @@
+"""Multistage (block-tridiagonal + arrow) KKT backend.
+
+TPU-native re-design of the reference's flagship native component,
+sparse::MultistageKKT (/root/reference/include/piqp/sparse/multistage_kkt.hpp):
+solves QPs whose variables split into stages x = (x_0 ... x_{T-1}, g) with
+nearest-neighbor coupling plus a global "arrow" block g, keeping cost
+*linear in the horizon* T (multistage_kkt.hpp:420-597 detects this structure;
+docs/_pages/multistage.md describes the problem class).
+
+Design deltas vs the reference (TPU-first):
+
+- The reference's BLASFEO panel kernels (blocksparse/*, utils/blasfeo_*)
+  become batched einsums over the stage axis — every per-stage syrk/gemm in
+  the assembly runs as ONE batched MXU op across all stages at once
+  (the reference parallelizes these loops with OpenMP, multistage_kkt.hpp:
+  855-994; here the batch dimension does it).
+- The sequential stage recursion of the factorization
+  (factor_kkt, multistage_kkt.hpp:1253-1352):
+      L_i = chol(D_i - C_{i-1} C_{i-1}'),  C_i = K_{i+1,i} L_i^{-T},
+      F_i = (K_{g,i} - F_{i-1} C_{i-1}') L_i^{-T},
+      L_g = chol(K_gg - sum_i F_i F_i')
+  is expressed as ``lax.scan`` over stages; the forward/backward triangular
+  sweeps (solve_llt_in_place, multistage_kkt.hpp:1709-1816) are scans too.
+- Stages are padded to a uniform width D so every block op is a fixed-shape
+  batched kernel; constraint rows are bucketed by stage with uniform bucket
+  sizes (the reference's BlockMat row permutation, blocksparse/block_mat.hpp).
+- Unlike the reference (double-only, static_assert multistage_kkt.hpp:44),
+  this backend inherits the solver dtype.
+
+The IPM core (solver.py / kkt.py) is representation-agnostic: this module
+plugs in by registering implementations of the dispatched ops
+(P_x/A_x/..., factor, condensed_solve_x, equilibrate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import kkt as kkt_mod
+from . import ruiz as ruiz_mod
+from .ops import matvec as mv
+from .types import PIQP_INF, QPData, Scaling, _pytree_dataclass
+
+
+@_pytree_dataclass
+class StageQPData:
+    """Stage-structured problem data.
+
+    Variable layout (flat): x = [x_0, ..., x_{T-1}, g], n = T*D + Da.
+    Constraint rows are bucketed by stage (bucket j touches stages j, j+1 and
+    the arrow): p = T*ra, m = T*rg.
+
+    Flat fields (c, b, h_l, ... masks) use exactly the QPData conventions so
+    the IPM core works unchanged; the structured blocks replace the dense
+    P/A/G for matvecs and factorization.
+
+    Block conventions:
+      Pd[i]   = P[stage i, stage i]            (T, D, D), full symmetric
+      Psub[i] = P[stage i+1, stage i]          (T, D, D), Psub[T-1] = 0
+      Pa[i]   = P[g, stage i]                  (T, Da, D)
+      Pc      = P[g, g]                        (Da, Da)
+      A1[j]   = A[bucket j, stage j]           (T, ra, D)
+      A2[j]   = A[bucket j, stage j+1]         (T, ra, D), A2[T-1] = 0
+      Ag[j]   = A[bucket j, g]                 (T, ra, Da)
+      G1/G2/Gg analogous                       (T, rg, *)
+    """
+
+    # flat IPM-facing fields
+    c: jax.Array
+    b: jax.Array
+    h_l: jax.Array
+    h_u: jax.Array
+    x_l: jax.Array
+    x_u: jax.Array
+    x_b_scaling: jax.Array
+    hl_mask: jax.Array
+    hu_mask: jax.Array
+    xl_mask: jax.Array
+    xu_mask: jax.Array
+
+    # structured blocks
+    Pd: jax.Array
+    Psub: jax.Array
+    Pa: jax.Array
+    Pc: jax.Array
+    A1: jax.Array
+    A2: jax.Array
+    Ag: jax.Array
+    G1: jax.Array
+    G2: jax.Array
+    Gg: jax.Array
+
+    @property
+    def T(self) -> int:
+        return self.Pd.shape[-3]
+
+    @property
+    def D(self) -> int:
+        return self.Pd.shape[-1]
+
+    @property
+    def Da(self) -> int:
+        return self.Pc.shape[-1]
+
+    @property
+    def ra(self) -> int:
+        return self.A1.shape[-2]
+
+    @property
+    def rg(self) -> int:
+        return self.G1.shape[-2]
+
+    @property
+    def n(self) -> int:
+        return self.T * self.D + self.Da
+
+    @property
+    def p(self) -> int:
+        return self.T * self.ra
+
+    @property
+    def m(self) -> int:
+        return self.T * self.rg
+
+
+def _split_x(data: StageQPData, x):
+    T, D = data.T, data.D
+    return x[: T * D].reshape(T, D), x[T * D:]
+
+
+def _join_x(xs, xg):
+    return jnp.concatenate([xs.reshape(-1), xg])
+
+
+def _shift_up(a):
+    """out[i] = a[i+1], out[-1] = 0 (along leading axis)."""
+    return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+
+def _shift_down(a):
+    """out[i] = a[i-1], out[0] = 0."""
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# structured matvecs (the reference's blocked symv/gemv,
+# multistage_kkt.hpp:1354-1706, as batched einsums)
+# ---------------------------------------------------------------------------
+
+@mv.P_x.register
+def _(data: StageQPData, x):
+    xs, xg = _split_x(data, x)
+    u = jnp.einsum("tij,tj->ti", data.Pd, xs)
+    u = u + _shift_down(jnp.einsum("tij,tj->ti", data.Psub, xs))
+    u = u + jnp.einsum("tij,ti->tj", data.Psub, _shift_up(xs))
+    u = u + jnp.einsum("tad,a->td", data.Pa, xg)
+    yg = jnp.einsum("tad,td->a", data.Pa, xs) + data.Pc @ xg
+    return _join_x(u, yg)
+
+
+@mv.P_diag.register
+def _(data: StageQPData):
+    d = jnp.diagonal(data.Pd, axis1=-2, axis2=-1).reshape(-1)
+    return jnp.concatenate([d, jnp.diagonal(data.Pc)])
+
+
+@mv.A_x.register
+def _(data: StageQPData, x):
+    xs, xg = _split_x(data, x)
+    ys = (
+        jnp.einsum("trd,td->tr", data.A1, xs)
+        + jnp.einsum("trd,td->tr", data.A2, _shift_up(xs))
+        + jnp.einsum("tra,a->tr", data.Ag, xg)
+    )
+    return ys.reshape(-1)
+
+
+@mv.AT_y.register
+def _(data: StageQPData, y):
+    ys = y.reshape(data.T, data.ra)
+    us = jnp.einsum("trd,tr->td", data.A1, ys)
+    us = us + _shift_down(jnp.einsum("trd,tr->td", data.A2, ys))
+    ug = jnp.einsum("tra,tr->a", data.Ag, ys)
+    return _join_x(us, ug)
+
+
+@mv.G_x.register
+def _(data: StageQPData, x):
+    xs, xg = _split_x(data, x)
+    zs = (
+        jnp.einsum("trd,td->tr", data.G1, xs)
+        + jnp.einsum("trd,td->tr", data.G2, _shift_up(xs))
+        + jnp.einsum("tra,a->tr", data.Gg, xg)
+    )
+    return zs.reshape(-1)
+
+
+@mv.GT_z.register
+def _(data: StageQPData, z):
+    zs = z.reshape(data.T, data.rg)
+    us = jnp.einsum("trd,tr->td", data.G1, zs)
+    us = us + _shift_down(jnp.einsum("trd,tr->td", data.G2, zs))
+    ug = jnp.einsum("tra,tr->a", data.Gg, zs)
+    return _join_x(us, ug)
+
+
+# ---------------------------------------------------------------------------
+# block factorization (factor_kkt + block_syrk assembly,
+# multistage_kkt.hpp:820-1352)
+# ---------------------------------------------------------------------------
+
+def _assemble_blocks(data: StageQPData, ks):
+    """Blockwise K = P + diag(x_reg) + (1/dr) A'A + G' W G."""
+    dr_inv = 1.0 / ks.delta_reg
+    W = (1.0 / ks.z_reg_fact).reshape(data.T, data.rg)
+    xreg_s, xreg_g = _split_x(data, ks.x_reg)
+
+    GW1 = data.G1 * W[:, :, None]
+    GW2 = data.G2 * W[:, :, None]
+    GWg = data.Gg * W[:, :, None]
+
+    Kd = data.Pd + jax.vmap(jnp.diag)(xreg_s)
+    Kd = Kd + dr_inv * jnp.einsum("tri,trj->tij", data.A1, data.A1)
+    Kd = Kd + _shift_down(dr_inv * jnp.einsum("tri,trj->tij", data.A2, data.A2))
+    Kd = Kd + jnp.einsum("tri,trj->tij", GW1, data.G1)
+    Kd = Kd + _shift_down(jnp.einsum("tri,trj->tij", GW2, data.G2))
+
+    Ksub = data.Psub + dr_inv * jnp.einsum("tri,trj->tij", data.A2, data.A1)
+    Ksub = Ksub + jnp.einsum("tri,trj->tij", GW2, data.G1)
+
+    Ka = data.Pa + dr_inv * jnp.einsum("tra,trd->tad", data.Ag, data.A1)
+    Ka = Ka + _shift_down(dr_inv * jnp.einsum("tra,trd->tad", data.Ag, data.A2))
+    Ka = Ka + jnp.einsum("tra,trd->tad", GWg, data.G1)
+    Ka = Ka + _shift_down(jnp.einsum("tra,trd->tad", GWg, data.G2))
+
+    Kc = data.Pc + jnp.diag(xreg_g)
+    Kc = Kc + dr_inv * jnp.einsum("tra,trb->ab", data.Ag, data.Ag)
+    Kc = Kc + jnp.einsum("tra,trb->ab", GWg, data.Gg)
+    return Kd, Ksub, Ka, Kc
+
+
+def _tsolve(L, B, transpose=False):
+    """Solve L X = B (or L' X = B) for matrix/vector B."""
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    X = lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=True, transpose_a=transpose
+    )
+    return X[:, 0] if vec else X
+
+
+@kkt_mod.empty_factor.register
+def _(data: StageQPData):
+    T, D, Da = data.T, data.D, data.Da
+    dt = data.c.dtype
+    return (
+        jnp.zeros((T, D, D), dt),
+        jnp.zeros((T, D, D), dt),
+        jnp.zeros((T, Da, D), dt),
+        jnp.zeros((Da, Da), dt),
+    )
+
+
+@kkt_mod.factor.register
+def _(data: StageQPData, ks):
+    """Block Cholesky of the tridiagonal+arrow condensed matrix as a scan
+    over stages (the reference's sequential recursion,
+    multistage_kkt.hpp:1253-1352)."""
+    Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
+    D, Da = data.D, data.Da
+    dt = data.c.dtype
+
+    def step(carry, blocks):
+        C_prev, F_prev, acc = carry
+        Kd_i, Ksub_i, Ka_i = blocks
+        M = Kd_i - C_prev @ C_prev.T
+        L = jnp.linalg.cholesky(M)
+        C = _tsolve(L, Ksub_i.T).T  # C_i = Ksub_i L^{-T}
+        F = _tsolve(L, (Ka_i - F_prev @ C_prev.T).T).T
+        acc = acc + F @ F.T
+        return (C, F, acc), (L, C, F)
+
+    init = (jnp.zeros((D, D), dt), jnp.zeros((Da, D), dt), jnp.zeros((Da, Da), dt))
+    (_, _, acc), (Ls, Cs, Fs) = lax.scan(step, init, (Kd, Ksub, Ka))
+    Lc = jnp.linalg.cholesky(Kc - acc)
+
+    ok = jnp.logical_and(
+        jnp.all(jnp.isfinite(Ls)), jnp.all(jnp.isfinite(Lc))
+    )
+    return ks.replace(L=(Ls, Cs, Fs, Lc)), ok
+
+
+@kkt_mod.condensed_solve_x.register
+def _(data: StageQPData, ks, v):
+    """Forward/backward block-triangular sweeps
+    (solve_llt_in_place, multistage_kkt.hpp:1709-1816)."""
+    Ls, Cs, Fs, Lc = ks.L
+    vs, vg = _split_x(data, v)
+    D = data.D
+    dt = v.dtype
+
+    C_prevs = _shift_down(Cs)  # C_prevs[i] = C_{i-1}, zero for i=0
+
+    def fwd(carry, blocks):
+        v_prev, gacc = carry
+        L_i, C_prev, F_i, r_i = blocks
+        u = r_i - C_prev @ v_prev
+        w = _tsolve(L_i, u)
+        return (w, gacc + F_i @ w), w
+
+    (_, gacc), ws = lax.scan(
+        fwd,
+        (jnp.zeros(D, dt), jnp.zeros(data.Da, dt)),
+        (Ls, C_prevs, Fs, vs),
+    )
+    wg = _tsolve(Lc, vg - gacc)
+
+    # backward sweep
+    xg = _tsolve(Lc, wg, transpose=True)
+
+    def bwd(carry, blocks):
+        x_next = carry
+        L_i, C_i, F_i, w_i = blocks
+        u = w_i - C_i.T @ x_next - F_i.T @ xg
+        x_i = _tsolve(L_i, u, transpose=True)
+        return x_i, x_i
+
+    _, xs = lax.scan(
+        bwd, jnp.zeros(D, dt), (Ls, Cs, Fs, ws), reverse=True
+    )
+    return _join_x(xs, xg)
+
+
+# ---------------------------------------------------------------------------
+# structured Ruiz equilibration
+# ---------------------------------------------------------------------------
+
+def _stage_col_norms(data_blocks):
+    """Column infinity norms of the stage-structured KKT matrix."""
+    Pd, Psub, Pa, Pc, A1, A2, Ag, G1, G2, Gg, xb_s, xb_g = data_blocks
+
+    def colmax(M):  # (T, r, d) -> (T, d)
+        return jnp.max(jnp.abs(M), axis=-2, initial=0.0)
+
+    def rowmax(M):  # (T, r, d) -> (T, r)
+        return jnp.max(jnp.abs(M), axis=-1, initial=0.0)
+
+    norm_x = colmax(Pd)
+    norm_x = jnp.maximum(norm_x, colmax(Psub))  # P[i+1,i] columns -> stage i
+    norm_x = jnp.maximum(norm_x, _shift_down(rowmax(Psub)))  # P[i,i+1] cols
+    norm_x = jnp.maximum(norm_x, colmax(Pa))
+    norm_x = jnp.maximum(norm_x, colmax(A1))
+    norm_x = jnp.maximum(norm_x, _shift_down(colmax(A2)))
+    norm_x = jnp.maximum(norm_x, colmax(G1))
+    norm_x = jnp.maximum(norm_x, _shift_down(colmax(G2)))
+    norm_x = jnp.maximum(norm_x, xb_s)
+
+    norm_g = jnp.max(rowmax(Pa), axis=0, initial=0.0)  # P[g,i] rows -> g cols
+    norm_g = jnp.maximum(norm_g, jnp.max(jnp.abs(Pc), axis=0, initial=0.0))
+    norm_g = jnp.maximum(norm_g, jnp.max(colmax(Ag), axis=0, initial=0.0))
+    norm_g = jnp.maximum(norm_g, jnp.max(colmax(Gg), axis=0, initial=0.0))
+    norm_g = jnp.maximum(norm_g, xb_g)
+
+    norm_y = jnp.maximum(rowmax(A1), jnp.maximum(rowmax(A2), rowmax(Ag)))
+    norm_z = jnp.maximum(rowmax(G1), jnp.maximum(rowmax(G2), rowmax(Gg)))
+    return norm_x, norm_g, norm_y, norm_z
+
+
+def _scale_blocks(blocks, dx, dg, dy, dz, db_s, db_g):
+    Pd, Psub, Pa, Pc, A1, A2, Ag, G1, G2, Gg, xb_s, xb_g = blocks
+    dx_next = _shift_up(dx)
+    Pd = Pd * dx[:, :, None] * dx[:, None, :]
+    Psub = Psub * dx_next[:, :, None] * dx[:, None, :]
+    Pa = Pa * dg[None, :, None] * dx[:, None, :]
+    Pc = Pc * dg[:, None] * dg[None, :]
+    A1 = A1 * dy[:, :, None] * dx[:, None, :]
+    A2 = A2 * dy[:, :, None] * dx_next[:, None, :]
+    Ag = Ag * dy[:, :, None] * dg[None, None, :]
+    G1 = G1 * dz[:, :, None] * dx[:, None, :]
+    G2 = G2 * dz[:, :, None] * dx_next[:, None, :]
+    Gg = Gg * dz[:, :, None] * dg[None, None, :]
+    xb_s = xb_s * db_s * dx
+    xb_g = xb_g * db_g * dg
+    return (Pd, Psub, Pa, Pc, A1, A2, Ag, G1, G2, Gg, xb_s, xb_g)
+
+
+@ruiz_mod.equilibrate.register
+def _equilibrate_stage(
+    data: StageQPData,
+    max_iter: int = 10,
+    scale_cost: bool = False,
+    epsilon: float = 1e-3,
+):
+    """Ruiz equilibration over the stage-block representation; same
+    algorithm as the dense path (preconditioner.hpp:64-222) with blockwise
+    norm reductions."""
+    from .ruiz import _limit_scaling
+
+    dt = data.c.dtype
+    T, D, Da = data.T, data.D, data.Da
+    n = data.n
+
+    xb_s, xb_g = _split_x(data, data.x_b_scaling)
+    blocks0 = (
+        data.Pd, data.Psub, data.Pa, data.Pc,
+        data.A1, data.A2, data.Ag,
+        data.G1, data.G2, data.Gg,
+        xb_s, xb_g,
+    )
+    cs, cg = _split_x(data, data.c)
+
+    def one_pass(carry):
+        blocks, cs, cg, cost, d, i, _ = carry
+        norm_x, norm_g, norm_y, norm_z = _stage_col_norms(blocks)
+
+        dx = 1.0 / jnp.sqrt(_limit_scaling(norm_x))
+        dg = 1.0 / jnp.sqrt(_limit_scaling(norm_g))
+        dy = 1.0 / jnp.sqrt(_limit_scaling(norm_y))
+        dz = 1.0 / jnp.sqrt(_limit_scaling(norm_z))
+        db_s = 1.0 / jnp.sqrt(_limit_scaling(blocks[10]))
+        db_g = 1.0 / jnp.sqrt(_limit_scaling(blocks[11]))
+
+        blocks = _scale_blocks(blocks, dx, dg, dy, dz, db_s, db_g)
+        cs_n, cg_n = cs * dx, cg * dg
+
+        d = (d[0] * dx, d[1] * dg, d[2] * dy, d[3] * dz, d[4] * db_s, d[5] * db_g)
+
+        if scale_cost:
+            Pd, Psub, Pa, Pc = blocks[0], blocks[1], blocks[2], blocks[3]
+            pn = jnp.max(jnp.abs(Pd), axis=-2, initial=0.0)
+            pn = jnp.maximum(pn, jnp.max(jnp.abs(Psub), axis=-2, initial=0.0))
+            pn = jnp.maximum(
+                pn, _shift_down(jnp.max(jnp.abs(Psub), axis=-1, initial=0.0))
+            )
+            pn = jnp.maximum(pn, jnp.max(jnp.abs(Pa), axis=-2, initial=0.0))
+            gsum = jnp.sum(pn) + jnp.sum(
+                jnp.max(jnp.abs(Pc), axis=0, initial=0.0)
+            )
+            gamma = gsum / jnp.asarray(n, dt)
+            gamma = _limit_scaling(gamma)
+            cmax = jnp.maximum(
+                jnp.max(jnp.abs(cs_n), initial=0.0), jnp.max(jnp.abs(cg_n), initial=0.0)
+            )
+            gamma = 1.0 / _limit_scaling(jnp.maximum(gamma, cmax))
+            blocks = (
+                blocks[0] * gamma, blocks[1] * gamma, blocks[2] * gamma,
+                blocks[3] * gamma,
+            ) + blocks[4:]
+            cs_n, cg_n = cs_n * gamma, cg_n * gamma
+            cost = cost * gamma
+
+        measure = jnp.max(
+            jnp.stack([
+                jnp.max(jnp.abs(1.0 - dx), initial=0.0),
+                jnp.max(jnp.abs(1.0 - dg), initial=0.0),
+                jnp.max(jnp.abs(1.0 - dy), initial=0.0),
+                jnp.max(jnp.abs(1.0 - dz), initial=0.0),
+                jnp.max(jnp.abs(1.0 - db_s), initial=0.0),
+                jnp.max(jnp.abs(1.0 - db_g), initial=0.0),
+            ])
+        )
+        return (blocks, cs_n, cg_n, cost, d, i + 1, measure)
+
+    d0 = (
+        jnp.ones((T, D), dt), jnp.ones(Da, dt),
+        jnp.ones((T, data.ra), dt), jnp.ones((T, data.rg), dt),
+        jnp.ones((T, D), dt), jnp.ones(Da, dt),
+    )
+    carry = (
+        blocks0, cs, cg, jnp.asarray(1.0, dt), d0,
+        jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt),
+    )
+
+    def cond(c):
+        return jnp.logical_and(c[-2] < max_iter, c[-1] > epsilon)
+
+    blocks, cs, cg, cost, d, _, _ = lax.while_loop(cond, one_pass, carry)
+    dx, dg, dy, dz, db_s, db_g = d
+
+    d_x = _join_x(dx, dg)
+    d_y = dy.reshape(-1)
+    d_z = dz.reshape(-1)
+    d_b = _join_x(db_s, db_g)
+
+    scaled = data.replace(
+        Pd=blocks[0], Psub=blocks[1], Pa=blocks[2], Pc=blocks[3],
+        A1=blocks[4], A2=blocks[5], Ag=blocks[6],
+        G1=blocks[7], G2=blocks[8], Gg=blocks[9],
+        x_b_scaling=_join_x(blocks[10], blocks[11]),
+        c=_join_x(cs, cg),  # already scaled inside the loop
+        b=data.b * d_y,
+        h_l=data.h_l * d_z,
+        h_u=data.h_u * d_z,
+        x_l=data.x_l * d_b,
+        x_u=data.x_u * d_b,
+    )
+    return scaled, Scaling(c=cost, d_x=d_x, d_y=d_y, d_z=d_z, d_b=d_b)
+
+
+@ruiz_mod.apply_scaling.register
+def _apply_scaling_stage(data: StageQPData, s: Scaling):
+    T, D, Da = data.T, data.D, data.Da
+    dx = s.d_x[: T * D].reshape(T, D)
+    dg = s.d_x[T * D:]
+    dy = s.d_y.reshape(T, data.ra)
+    dz = s.d_z.reshape(T, data.rg)
+    db_s = s.d_b[: T * D].reshape(T, D)
+    db_g = s.d_b[T * D:]
+    xb_s, xb_g = _split_x(data, data.x_b_scaling)
+    blocks = _scale_blocks(
+        (data.Pd, data.Psub, data.Pa, data.Pc, data.A1, data.A2, data.Ag,
+         data.G1, data.G2, data.Gg, xb_s, xb_g),
+        dx, dg, dy, dz, db_s, db_g,
+    )
+    return data.replace(
+        Pd=s.c * blocks[0], Psub=s.c * blocks[1], Pa=s.c * blocks[2],
+        Pc=s.c * blocks[3],
+        A1=blocks[4], A2=blocks[5], Ag=blocks[6],
+        G1=blocks[7], G2=blocks[8], Gg=blocks[9],
+        x_b_scaling=_join_x(blocks[10], blocks[11]),
+        c=s.c * data.c * s.d_x,
+        b=data.b * s.d_y,
+        h_l=data.h_l * s.d_z,
+        h_u=data.h_u * s.d_z,
+        x_l=data.x_l * s.d_b,
+        x_u=data.x_u * s.d_b,
+    )
+
+
+# ---------------------------------------------------------------------------
+# builders / converters
+# ---------------------------------------------------------------------------
+
+def from_stage_blocks(
+    Pd, Psub, Pa, Pc, c,
+    A1=None, A2=None, Ag=None, b=None,
+    G1=None, G2=None, Gg=None, h_l=None, h_u=None,
+    x_l=None, x_u=None, dtype=jnp.float64,
+) -> StageQPData:
+    """Build a StageQPData from numpy per-stage blocks (host-side analog of
+    dense::Data construction + disable_inf_constraints)."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    Pd = np.asarray(Pd, np_dtype)
+    T, D, _ = Pd.shape
+    Pc = np.asarray(Pc, np_dtype) if Pc is not None else np.zeros((0, 0), np_dtype)
+    Da = Pc.shape[0]
+    Psub = (
+        np.array(Psub, np_dtype, copy=True)
+        if Psub is not None
+        else np.zeros((T, D, D), np_dtype)
+    )
+    Psub[T - 1] = 0.0
+    Pa = (
+        np.asarray(Pa, np_dtype)
+        if Pa is not None
+        else np.zeros((T, Da, D), np_dtype)
+    )
+    n = T * D + Da
+
+    def blocked(M1, M2, Mg, r):
+        M1 = np.array(M1, np_dtype, copy=True) if M1 is not None else np.zeros((T, r, D), np_dtype)
+        M2 = np.array(M2, np_dtype, copy=True) if M2 is not None else np.zeros((T, r, D), np_dtype)
+        Mg = np.array(Mg, np_dtype, copy=True) if Mg is not None else np.zeros((T, r, Da), np_dtype)
+        M2[T - 1] = 0.0
+        return M1, M2, Mg
+
+    ra = 0 if A1 is None else np.asarray(A1).shape[1]
+    rg = 0 if G1 is None else np.asarray(G1).shape[1]
+    A1, A2, Ag = blocked(A1, A2, Ag, ra)
+    G1, G2, Gg = blocked(G1, G2, Gg, rg)
+
+    p, m = T * ra, T * rg
+    b = np.zeros(p, np_dtype) if b is None else np.asarray(b, np_dtype).reshape(p)
+    h_l = np.full(m, -np.inf) if h_l is None else np.asarray(h_l, np_dtype).reshape(m)
+    h_u = np.full(m, np.inf) if h_u is None else np.asarray(h_u, np_dtype).reshape(m)
+    x_l = np.full(n, -np.inf) if x_l is None else np.asarray(x_l, np_dtype).reshape(n)
+    x_u = np.full(n, np.inf) if x_u is None else np.asarray(x_u, np_dtype).reshape(n)
+
+    hl_mask = h_l > -PIQP_INF
+    hu_mask = h_u < PIQP_INF
+    dead = ~hl_mask & ~hu_mask
+    if dead.any():
+        # disable_inf_constraints analog: zero the row, fake bounds [-1, 1]
+        dead_b = dead.reshape(T, rg)
+        G1[dead_b] = 0.0
+        G2[dead_b] = 0.0
+        Gg[dead_b] = 0.0
+        h_l = np.where(dead, -1.0, h_l)
+        h_u = np.where(dead, 1.0, h_u)
+        hl_mask = h_l > -PIQP_INF
+        hu_mask = h_u < PIQP_INF
+    xl_mask = x_l > -PIQP_INF
+    xu_mask = x_u < PIQP_INF
+
+    return StageQPData(
+        c=jnp.asarray(np.asarray(c, np_dtype).reshape(n)),
+        b=jnp.asarray(b),
+        h_l=jnp.asarray(np.where(hl_mask, h_l, 0.0)),
+        h_u=jnp.asarray(np.where(hu_mask, h_u, 0.0)),
+        x_l=jnp.asarray(np.where(xl_mask, x_l, 0.0)),
+        x_u=jnp.asarray(np.where(xu_mask, x_u, 0.0)),
+        x_b_scaling=jnp.ones(n, dtype),
+        hl_mask=jnp.asarray(hl_mask),
+        hu_mask=jnp.asarray(hu_mask),
+        xl_mask=jnp.asarray(xl_mask),
+        xu_mask=jnp.asarray(xu_mask),
+        Pd=jnp.asarray(Pd), Psub=jnp.asarray(Psub), Pa=jnp.asarray(Pa),
+        Pc=jnp.asarray(Pc),
+        A1=jnp.asarray(A1), A2=jnp.asarray(A2), Ag=jnp.asarray(Ag),
+        G1=jnp.asarray(G1), G2=jnp.asarray(G2), Gg=jnp.asarray(Gg),
+    )
+
+
+def to_dense(data: StageQPData) -> QPData:
+    """Materialize the equivalent dense QPData (test oracle)."""
+    T, D, Da, ra, rg = data.T, data.D, data.Da, data.ra, data.rg
+    n, p, m = data.n, data.p, data.m
+    P = np.zeros((n, n))
+    for i in range(T):
+        s = slice(i * D, (i + 1) * D)
+        P[s, s] = np.asarray(data.Pd[i])
+        if i + 1 < T:
+            s2 = slice((i + 1) * D, (i + 2) * D)
+            P[s2, s] = np.asarray(data.Psub[i])
+            P[s, s2] = np.asarray(data.Psub[i]).T
+        P[T * D:, s] = np.asarray(data.Pa[i])
+        P[s, T * D:] = np.asarray(data.Pa[i]).T
+    P[T * D:, T * D:] = np.asarray(data.Pc)
+
+    def expand(M1, M2, Mg, r):
+        M = np.zeros((T * r, n))
+        for j in range(T):
+            rs = slice(j * r, (j + 1) * r)
+            M[rs, j * D:(j + 1) * D] = np.asarray(M1[j])
+            if j + 1 < T:
+                M[rs, (j + 1) * D:(j + 2) * D] = np.asarray(M2[j])
+            M[rs, T * D:] = np.asarray(Mg[j])
+        return M
+
+    A = expand(data.A1, data.A2, data.Ag, ra) if ra else np.zeros((0, n))
+    G = expand(data.G1, data.G2, data.Gg, rg) if rg else np.zeros((0, n))
+
+    return QPData(
+        P=jnp.asarray(P), c=data.c, A=jnp.asarray(A), b=data.b,
+        G=jnp.asarray(G), h_l=data.h_l, h_u=data.h_u,
+        x_l=data.x_l, x_u=data.x_u, x_b_scaling=data.x_b_scaling,
+        hl_mask=data.hl_mask, hu_mask=data.hu_mask,
+        xl_mask=data.xl_mask, xu_mask=data.xu_mask,
+    )
+
+
+def random_multistage_qp(
+    T: int, D: int, Da: int = 0, ra: int = 0, rg: int = 0, seed: int = 42
+) -> StageQPData:
+    """Random strongly convex multistage QP (block-diagonally dominant P,
+    equalities consistent with a planted trajectory, inequalities around it —
+    the multistage analog of random_utils.hpp:131)."""
+    rng = np.random.default_rng(seed)
+    n = T * D + Da
+
+    Pd = rng.uniform(-1, 1, (T, D, D))
+    Pd = 0.5 * (Pd + Pd.transpose(0, 2, 1))
+    Psub = rng.uniform(-0.3, 0.3, (T, D, D))
+    Psub[T - 1] = 0.0
+    Pa = rng.uniform(-0.3, 0.3, (T, Da, D))
+    Pc = rng.uniform(-1, 1, (Da, Da))
+    Pc = 0.5 * (Pc + Pc.T)
+    # block diagonal dominance => positive definite
+    ridge = 2.0 * (D + Da) + 1.0
+    Pd += ridge * np.eye(D)[None]
+    Pc += ridge * np.eye(Da) if Da else 0.0
+
+    c = rng.uniform(-1, 1, n)
+    x_sol = rng.uniform(-1, 1, n)
+    xs = x_sol[: T * D].reshape(T, D)
+    xg = x_sol[T * D:]
+    xs_next = np.concatenate([xs[1:], np.zeros((1, D))], axis=0)
+
+    kw = {}
+    if ra:
+        A1 = rng.uniform(-1, 1, (T, ra, D))
+        A2 = rng.uniform(-1, 1, (T, ra, D))
+        A2[T - 1] = 0.0
+        Ag = rng.uniform(-1, 1, (T, ra, Da))
+        b = (
+            np.einsum("trd,td->tr", A1, xs)
+            + np.einsum("trd,td->tr", A2, xs_next)
+            + np.einsum("tra,a->tr", Ag, xg)
+        ).reshape(-1)
+        kw.update(A1=A1, A2=A2, Ag=Ag, b=b)
+    if rg:
+        G1 = rng.uniform(-1, 1, (T, rg, D))
+        G2 = rng.uniform(-1, 1, (T, rg, D))
+        G2[T - 1] = 0.0
+        Gg = rng.uniform(-1, 1, (T, rg, Da))
+        Gx = (
+            np.einsum("trd,td->tr", G1, xs)
+            + np.einsum("trd,td->tr", G2, xs_next)
+            + np.einsum("tra,a->tr", Gg, xg)
+        ).reshape(-1)
+        m = T * rg
+        h_l = Gx - rng.uniform(0, 1, m)
+        h_u = Gx + rng.uniform(0, 1, m)
+        r = rng.uniform(0, 1, m)
+        h_l = np.where(r < 0.3, -np.inf, h_l)
+        h_u = np.where((r >= 0.3) & (r < 0.6), np.inf, h_u)
+        kw.update(G1=G1, G2=G2, Gg=Gg, h_l=h_l, h_u=h_u)
+
+    return from_stage_blocks(Pd, Psub, Pa, Pc, c, **kw)

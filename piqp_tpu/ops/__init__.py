@@ -1,1 +1,1 @@
-from .matvec import A_xn_AT_xt, G_xn_GT_xt, P_x  # noqa: F401
+from .matvec import A_x, AT_y, G_x, GT_z, P_diag, P_x  # noqa: F401

@@ -2,9 +2,10 @@
 /root/reference/include/piqp/kkt_solver_base.hpp:21-44).
 
 Single-dispatch on the data representation so block-structured backends
-(multistage) can provide linear-in-horizon implementations while the dense
+(multistage) provide linear-in-horizon implementations while the dense
 backend uses plain GEMVs.  Dispatch happens at trace time (zero runtime
-cost under jit).
+cost under jit).  The reference fuses A*xn with A'*xt for BLASFEO's gemv_nt;
+XLA fuses on its own, so the ops are kept separate and composable.
 """
 
 from __future__ import annotations
@@ -23,36 +24,62 @@ def P_x(data, x):
 
 
 @singledispatch
-def A_xn_AT_xt(data, xn, xt):
-    """(A @ xn, A.T @ xt) — the fused pair the reference evaluates together
-    (dense/kkt.hpp:117-123)."""
+def P_diag(data):
+    """Diagonal of P (static-regularization sizing, kkt_system.hpp:195-207)."""
     raise NotImplementedError(type(data))
 
 
 @singledispatch
-def G_xn_GT_xt(data, xn, xt):
-    """(G @ xn, G.T @ xt)."""
+def A_x(data, x):
+    """A @ x -> (p,)."""
     raise NotImplementedError(type(data))
 
+
+@singledispatch
+def AT_y(data, y):
+    """A.T @ y -> (n,)."""
+    raise NotImplementedError(type(data))
+
+
+@singledispatch
+def G_x(data, x):
+    """G @ x -> (m,)."""
+    raise NotImplementedError(type(data))
+
+
+@singledispatch
+def GT_z(data, z):
+    """G.T @ z -> (n,)."""
+    raise NotImplementedError(type(data))
+
+
+# --- dense implementations -------------------------------------------------
 
 @P_x.register
 def _(data: QPData, x):
     return data.P @ x
 
 
-@A_xn_AT_xt.register
-def _(data: QPData, xn, xt):
-    if data.p == 0:
-        return jnp.zeros(0, x_dtype(data)), jnp.zeros_like(xn)
-    return data.A @ xn, data.A.T @ xt
+@P_diag.register
+def _(data: QPData):
+    return jnp.diagonal(data.P)
 
 
-@G_xn_GT_xt.register
-def _(data: QPData, xn, xt):
-    if data.m == 0:
-        return jnp.zeros(0, x_dtype(data)), jnp.zeros_like(xn)
-    return data.G @ xn, data.G.T @ xt
+@A_x.register
+def _(data: QPData, x):
+    return data.A @ x
 
 
-def x_dtype(data):
-    return data.P.dtype
+@AT_y.register
+def _(data: QPData, y):
+    return data.A.T @ y
+
+
+@G_x.register
+def _(data: QPData, x):
+    return data.G @ x
+
+
+@GT_z.register
+def _(data: QPData, z):
+    return data.G.T @ z

@@ -21,6 +21,8 @@ of the iteration scaling from 1 below epsilon, preconditioner.hpp:79-82).
 
 from __future__ import annotations
 
+from functools import singledispatch
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -48,7 +50,22 @@ def _inf_norm_rows(M: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(M), axis=1, initial=0.0)
 
 
-def equilibrate(
+@singledispatch
+def equilibrate(data, max_iter: int = 10, scale_cost: bool = False,
+                epsilon: float = 1e-3):
+    """Ruiz-equilibrate; dispatches on the data representation."""
+    raise NotImplementedError(type(data))
+
+
+@singledispatch
+def apply_scaling(data, s: Scaling):
+    """Apply a previously-computed scaling to fresh (unscaled) data
+    (preconditioner.hpp:176-205, the reuse_prev_scaling path)."""
+    raise NotImplementedError(type(data))
+
+
+@equilibrate.register
+def _equilibrate_dense(
     data: QPData,
     max_iter: int = 10,
     scale_cost: bool = False,
@@ -161,9 +178,8 @@ def equilibrate(
     return scaled, Scaling(c=cost, d_x=dx, d_y=dy, d_z=dz, d_b=db)
 
 
-def apply_scaling(data: QPData, s: Scaling) -> QPData:
-    """Apply a previously-computed scaling to fresh (unscaled) data
-    (preconditioner.hpp:176-205, the reuse_prev_scaling path)."""
+@apply_scaling.register
+def _apply_scaling_dense(data: QPData, s: Scaling) -> QPData:
     P = s.c * (s.d_x[:, None] * data.P * s.d_x[None, :])
     cvec = s.c * data.c * s.d_x
     A = s.d_y[:, None] * data.A * s.d_x[None, :]

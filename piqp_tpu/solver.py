@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import kkt
+from . import kkt, ops
 from .types import (
     PIQP_INF,
     BasicVars,
@@ -72,12 +72,12 @@ def residuals_nr(
     (solver.hpp:960-1105)."""
     x, y = vars.x, vars.y
 
-    Px = data.P @ x
-    Ax = data.A @ x if data.p > 0 else jnp.zeros_like(vars.y)
-    ATy = data.A.T @ y if data.p > 0 else jnp.zeros_like(x)
-    Gx = data.G @ x if data.m > 0 else jnp.zeros_like(vars.z_l)
+    Px = ops.P_x(data, x)
+    Ax = ops.A_x(data, x) if data.p > 0 else jnp.zeros_like(vars.y)
+    ATy = ops.AT_y(data, y) if data.p > 0 else jnp.zeros_like(x)
+    Gx = ops.G_x(data, x) if data.m > 0 else jnp.zeros_like(vars.z_l)
     dz = vars.z_u - vars.z_l
-    GTdz = data.G.T @ dz if data.m > 0 else jnp.zeros_like(x)
+    GTdz = ops.GT_z(data, dz) if data.m > 0 else jnp.zeros_like(x)
 
     c_inv = 1.0 / sc.c
     ud_x = sc.d_x * c_inv  # unscale_dual_res factor (preconditioner.hpp:414-417)
@@ -242,7 +242,7 @@ def _bound_count(data: QPData):
         + jnp.sum(data.hu_mask)
         + jnp.sum(data.xl_mask)
         + jnp.sum(data.xu_mask)
-    ).astype(data.P.dtype)
+    ).astype(data.c.dtype)
 
 
 def calculate_mu(data: QPData, v: Vars) -> jax.Array:
@@ -337,11 +337,11 @@ def factor_ladder(
 def _init_state(
     data: QPData, sc: Scaling, settings: Settings, has_cone: bool
 ) -> tuple[IPMState, jax.Array]:
-    dtype = data.P.dtype
+    dtype = data.c.dtype
     n, p, m = data.n, data.p, data.m
 
     info = init_info(settings, dtype)
-    P_diag = jnp.diagonal(data.P)
+    P_diag = ops.P_diag(data)
 
     one_m_l = jnp.where(data.hl_mask, 1.0, 0.0).astype(dtype)
     one_m_u = jnp.where(data.hu_mask, 1.0, 0.0).astype(dtype)
@@ -505,7 +505,7 @@ def _check_termination(data, sc, settings, st: IPMState) -> IPMState:
 def _iteration(data, sc, settings, has_cone, st: IPMState) -> IPMState:
     info = st.info.replace(iter=st.info.iter + 1)
     vars = st.vars
-    eps = float(jnp.finfo(data.P.dtype).eps)
+    eps = float(jnp.finfo(data.c.dtype).eps)
 
     # boundary guard (solver.hpp:634-666): per-entry shift for inequality
     # duals, whole-vector shift for box duals.

@@ -7,7 +7,10 @@ pjit/shard_map logic without hardware).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_USE_TPU = os.environ.get("PIQP_TPU_TEST_TPU", "0") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,11 +20,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 # The container's sitecustomize may have already imported jax and pointed it
-# at the TPU platform; force the CPU backend for tests regardless.
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+# at the TPU platform; force the CPU backend for tests regardless (unless
+# PIQP_TPU_TEST_TPU=1 opts into running on the real chip).
+if not _USE_TPU:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 jax.config.update("jax_enable_x64", True)
 
