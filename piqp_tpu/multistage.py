@@ -656,6 +656,173 @@ def to_dense(data: StageQPData) -> QPData:
     )
 
 
+@dataclasses.dataclass
+class StageLayout:
+    """Mapping between the user's original variable/row order and the padded
+    stage layout (the analog of BlockMat's row permutation,
+    blocksparse/block_mat.hpp:23-44, plus variable blocking)."""
+
+    var_map: np.ndarray  # orig var -> flat stage-layout position
+    a_row_map: np.ndarray  # orig A row -> flat position
+    g_row_map: np.ndarray  # orig G row -> flat position
+    n: int
+    p: int
+    m: int
+
+
+def from_sparse(
+    P, c, A=None, b=None, G=None, h_l=None, h_u=None, x_l=None, x_u=None,
+    band_cap: int = 0, min_blocks: int = 3, dtype=jnp.float64,
+):
+    """Detect multistage structure in a general sparse QP and convert to
+    StageQPData (analog of extract_arrow_structure + utri_to_kkt +
+    transpose_to_block_mat, multistage_kkt.hpp:420-818).
+
+    Returns (StageQPData, StageLayout) or raises ValueError when the
+    problem has no usable block structure (callers fall back to the dense
+    condensed backend).
+    """
+    import scipy.sparse as sp
+
+    from . import _native
+
+    # PIQP semantics: only the upper triangle of P is used (solver.hpp:182);
+    # canonicalize to the full symmetric matrix for scattering.
+    P = sp.csc_matrix(P)
+    P = (sp.triu(P) + sp.triu(P, 1).T).tocsc()
+    n = P.shape[0]
+    A = sp.csc_matrix(A) if A is not None else sp.csc_matrix((0, n))
+    G = sp.csc_matrix(G) if G is not None else sp.csc_matrix((0, n))
+    p, m = A.shape[0], G.shape[0]
+
+    # symmetric coupling pattern of P + A'A + G'G (multistage_kkt.hpp:425-431)
+    S = (abs(P) + abs(P).T).astype(bool)
+    if p:
+        aT = abs(A).T.astype(bool).tocsc()
+        S = (S + (aT @ aT.T).astype(bool)).astype(bool)
+    if m:
+        gT = abs(G).T.astype(bool).tocsc()
+        S = (S + (gT @ gT.T).astype(bool)).astype(bool)
+    S = sp.csc_matrix(S + sp.eye(n, dtype=bool, format="csc"))
+
+    is_arrow, starts, sizes = _native.detect_structure(
+        S.indptr, S.indices, n, band_cap
+    )
+    T = len(starts)
+    if T < min_blocks:
+        raise ValueError(f"no multistage structure (only {T} blocks)")
+    Da = int(is_arrow.sum())
+    D = int(sizes.max())
+
+    # variable mapping: stage/offset per original variable
+    var_stage = np.full(n, -1, np.int64)
+    var_off = np.zeros(n, np.int64)
+    keep = ~is_arrow
+    compact = np.cumsum(keep) - 1  # compacted index of non-arrow vars
+    blk_of = np.zeros(int(keep.sum()), np.int64)
+    for t, (s0, sz) in enumerate(zip(starts, sizes)):
+        blk_of[s0:s0 + sz] = t
+    var_stage[keep] = blk_of[compact[keep]]
+    var_off[keep] = compact[keep] - starts[blk_of[compact[keep]]]
+    var_off[is_arrow] = np.cumsum(is_arrow)[is_arrow] - 1
+
+    var_map = np.where(
+        keep, var_stage * D + var_off, T * D + var_off
+    ).astype(np.int64)
+
+    # scatter P into blocks; pad unused diagonal slots with identity
+    Pd, Psub, Pa, Pc = _native.scatter_P(
+        P.indptr, P.indices, P.data, var_stage, var_off, T, D, Da
+    )
+    used = np.zeros((T, D), bool)
+    for t, (s0, sz) in enumerate(zip(starts, sizes)):
+        used[t, :sz] = True
+    padmask = ~used
+    idx_t, idx_d = np.nonzero(padmask)
+    Pd[idx_t, idx_d, idx_d] = 1.0
+
+    # bucket constraint rows (rows may touch stages {j} or {j, j+1} + arrow)
+    def bucket_rows(M):
+        Mr = M.tocsr()
+        rows = Mr.shape[0]
+        bucket = np.zeros(rows, np.int64)
+        for r in range(rows):
+            cols = Mr.indices[Mr.indptr[r]:Mr.indptr[r + 1]]
+            stg = var_stage[cols]
+            stg = stg[stg >= 0]
+            if stg.size == 0:
+                bucket[r] = T - 1
+                continue
+            lo, hi = int(stg.min()), int(stg.max())
+            if hi - lo > 1:
+                raise ValueError("constraint row spans non-adjacent stages")
+            bucket[r] = lo
+        return Mr, bucket
+
+    def layout_rows(bucket, rows):
+        counts = np.bincount(bucket, minlength=T)
+        rmax = int(counts.max()) if rows else 0
+        slot = np.zeros(rows, np.int64)
+        seen = np.zeros(T, np.int64)
+        for r in range(rows):
+            slot[r] = seen[bucket[r]]
+            seen[bucket[r]] += 1
+        row_map = bucket * rmax + slot
+        return rmax, slot, row_map
+
+    Ar, a_bucket = bucket_rows(A)
+    ra, a_slot, a_row_map = layout_rows(a_bucket, p)
+    Gr, g_bucket = bucket_rows(G)
+    rg, g_slot, g_row_map = layout_rows(g_bucket, m)
+
+    A1, A2, Ag = _native.scatter_constr(
+        Ar.indptr, Ar.indices, Ar.data, var_stage, var_off,
+        a_bucket, a_slot, T, ra, D, Da,
+    ) if p else (np.zeros((T, 0, D)), np.zeros((T, 0, D)), np.zeros((T, 0, Da)))
+    G1, G2, Gg = _native.scatter_constr(
+        Gr.indptr, Gr.indices, Gr.data, var_stage, var_off,
+        g_bucket, g_slot, T, rg, D, Da,
+    ) if m else (np.zeros((T, 0, D)), np.zeros((T, 0, D)), np.zeros((T, 0, Da)))
+
+    # flat vectors in stage layout
+    n_pad, p_pad, m_pad = T * D + Da, T * ra, T * rg
+    inf = np.inf
+    c_f = np.zeros(n_pad)
+    c_f[var_map] = np.asarray(c, np.float64).ravel()
+    b_f = np.zeros(p_pad)
+    if p:
+        b_f[a_row_map] = np.asarray(b, np.float64).ravel()
+    # padded inequality rows are all-zero: give them the benign [-1, 1]
+    # bounds disable_inf_constraints would produce
+    hl_f = np.full(m_pad, -1.0)
+    hu_f = np.full(m_pad, 1.0)
+    if m:
+        hl_f[g_row_map] = (
+            np.asarray(h_l, np.float64).ravel() if h_l is not None else -inf
+        )
+        hu_f[g_row_map] = (
+            np.asarray(h_u, np.float64).ravel() if h_u is not None else inf
+        )
+    xl_f = np.full(n_pad, -inf)
+    xu_f = np.full(n_pad, inf)
+    if x_l is not None:
+        xl_f[var_map] = np.asarray(x_l, np.float64).ravel()
+    if x_u is not None:
+        xu_f[var_map] = np.asarray(x_u, np.float64).ravel()
+
+    sdata = from_stage_blocks(
+        Pd, Psub, Pa, Pc, c_f,
+        A1=A1, A2=A2, Ag=Ag, b=b_f,
+        G1=G1, G2=G2, Gg=Gg, h_l=hl_f, h_u=hu_f,
+        x_l=xl_f, x_u=xu_f, dtype=dtype,
+    )
+    layout = StageLayout(
+        var_map=var_map, a_row_map=a_row_map, g_row_map=g_row_map,
+        n=n, p=p, m=m,
+    )
+    return sdata, layout
+
+
 def random_multistage_qp(
     T: int, D: int, Da: int = 0, ra: int = 0, rg: int = 0, seed: int = 42
 ) -> StageQPData:

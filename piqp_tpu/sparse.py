@@ -5,15 +5,15 @@ CSC inputs.  TPU-first routing instead of a scalar sparse LDL^T
 (sparse/ldlt.hpp is an etree up-looking factorization — exactly the kind of
 scalar-chasing code TPUs are worst at):
 
-- the condensed KKT matrix is only n x n (all constraints eliminated,
-  matching the reference's ``sparse_ldlt_cond`` / KKT_ALL_ELIMINATED mode,
-  sparse/kkt_all_eliminated.hpp); for small/medium n we densify that system
-  and run the MXU Cholesky path;
-- residual/RHS matvecs use the sparse structure on host only at setup;
-  on-device they are dense GEMVs (bandwidth-bound but tiny next to the
-  factorization);
-- multistage/OCP-structured problems should use the multistage backend
-  (piqp_tpu.multistage) which keeps cost linear in the horizon.
+- ``kkt_solver=dense_cholesky`` (default): the condensed KKT matrix is only
+  n x n (all constraints eliminated, matching the reference's
+  ``sparse_ldlt_cond`` / KKT_ALL_ELIMINATED mode); we densify that system
+  and run the MXU Cholesky path.  Optimal on TPU up to n of a few thousand.
+- ``kkt_solver=multistage``: host-side structure detection
+  (piqp_tpu._native, the analog of extract_arrow_structure) converts the
+  problem to stage blocks and runs the block-tridiagonal+arrow backend —
+  cost linear in the horizon.  Falls back to dense when no structure is
+  found and ``multistage_fallback`` is True.
 """
 
 from __future__ import annotations
@@ -22,11 +22,13 @@ from typing import Optional
 
 import numpy as np
 
-from .api import DenseSolver
-from .types import Settings, Status
+import jax
+
+from .api import DenseSolver, has_cone, _solve_fresh
+from .types import KKTBackend, Result, Settings, Status
 
 
-def _to_dense(M, name: str):
+def _to_dense(M):
     if M is None:
         return None
     if hasattr(M, "toarray"):
@@ -34,24 +36,87 @@ def _to_dense(M, name: str):
     return np.asarray(M)
 
 
+class _PermutedResult:
+    """User-order view of a stage-layout Result."""
+
+    def __init__(self, res: Result, layout):
+        self.info = res.info
+        vm, am, gm = layout.var_map, layout.a_row_map, layout.g_row_map
+        self.x = np.asarray(res.x)[vm]
+        self.y = np.asarray(res.y)[am] if layout.p else np.zeros(0)
+        self.z_l = np.asarray(res.z_l)[gm] if layout.m else np.zeros(0)
+        self.z_u = np.asarray(res.z_u)[gm] if layout.m else np.zeros(0)
+        self.s_l = np.asarray(res.s_l)[gm] if layout.m else np.zeros(0)
+        self.s_u = np.asarray(res.s_u)[gm] if layout.m else np.zeros(0)
+        self.z_bl = np.asarray(res.z_bl)[vm]
+        self.z_bu = np.asarray(res.z_bu)[vm]
+        self.s_bl = np.asarray(res.s_bl)[vm]
+        self.s_bu = np.asarray(res.s_bu)[vm]
+
+
 class SparseSolver(DenseSolver):
     """Sparse-input solver with PIQP's SparseSolver API.
 
     Accepts scipy.sparse matrices (any format) or dense arrays for P, A, G.
-    Current backend: fully-condensed dense Cholesky (the reference's
-    sparse_ldlt_cond analog) — optimal on TPU for n up to a few thousand.
     """
+
+    def __init__(self, settings: Settings = Settings(), multistage_fallback: bool = True):
+        super().__init__(settings)
+        self._multistage_fallback = multistage_fallback
+        self._stage_data = None
+        self._layout = None
+        self._stage_raw = None
 
     def setup(self, P, c, A=None, b=None, G=None, h_l=None, h_u=None,
               x_l=None, x_u=None) -> None:
+        if self.settings.kkt_solver == KKTBackend.multistage:
+            from . import multistage as ms
+
+            try:
+                self._stage_raw = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l,
+                                       h_u=h_u, x_l=x_l, x_u=x_u)
+                self._stage_data, self._layout = ms.from_sparse(
+                    P, c, A, b, G, h_l, h_u, x_l, x_u,
+                    dtype=self.settings.jnp_dtype,
+                )
+                self._result = None
+                self._first_run = True
+                return
+            except ValueError:
+                if not self._multistage_fallback:
+                    raise
+                self._stage_data = None
+                self._layout = None
         super().setup(
-            _to_dense(P, "P"), c, _to_dense(A, "A"), b, _to_dense(G, "G"),
-            h_l, h_u, x_l, x_u,
+            _to_dense(P), c, _to_dense(A), b, _to_dense(G), h_l, h_u, x_l, x_u
         )
 
     def update(self, P=None, c=None, A=None, b=None, G=None, h_l=None,
                h_u=None, x_l=None, x_u=None) -> None:
+        if self._stage_data is not None:
+            from . import multistage as ms
+
+            updates = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l, h_u=h_u,
+                           x_l=x_l, x_u=x_u)
+            for k, v in updates.items():
+                if v is not None:
+                    self._stage_raw[k] = v
+            self._stage_data, self._layout = ms.from_sparse(
+                **self._stage_raw, dtype=self.settings.jnp_dtype
+            )
+            return
         super().update(
-            _to_dense(P, "P"), c, _to_dense(A, "A"), b, _to_dense(G, "G"),
-            h_l, h_u, x_l, x_u,
+            _to_dense(P), c, _to_dense(A), b, _to_dense(G), h_l, h_u, x_l, x_u
         )
+
+    def solve(self) -> Status:
+        if self._stage_data is None:
+            return super().solve()
+        if not self.settings.verify():
+            return Status.INVALID_SETTINGS
+        cone = has_cone(self._stage_data)
+        res, _ = _solve_fresh(self._stage_data, self.settings, cone)
+        res = jax.block_until_ready(res)
+        self._result = _PermutedResult(res, self._layout)
+        self._first_run = False
+        return Status(int(res.info.status))

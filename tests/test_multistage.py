@@ -127,3 +127,86 @@ def test_long_horizon():
     sdata = ms.random_multistage_qp(T=64, D=4, Da=2, ra=2, rg=2, seed=11)
     res = solve_prepared(sdata)
     assert int(res.info.status) == Status.SOLVED
+
+
+# ---------------------------------------------------------------------------
+# structure detection + sparse conversion (csrc/structure.cpp analog of
+# extract_arrow_structure, multistage_kkt.hpp:420-597)
+# ---------------------------------------------------------------------------
+
+def test_native_library_builds():
+    from piqp_tpu import _native
+
+    assert _native.have_native(), "C++ structure library failed to build"
+
+
+def test_detect_and_convert_roundtrip():
+    import scipy.sparse as sp
+    from piqp_tpu import Settings, SparseSolver
+    from piqp_tpu.types import KKTBackend
+
+    sdata0 = ms.random_multistage_qp(T=16, D=3, Da=2, ra=2, rg=2, seed=21)
+    ddata = ms.to_dense(sdata0)
+
+    # reconstruct the original user-facing problem (dense order)
+    P = np.asarray(ddata.P)
+    n = P.shape[0]
+    A = np.asarray(ddata.A)
+    G = np.asarray(ddata.G)
+    h_l = np.where(np.asarray(ddata.hl_mask), np.asarray(ddata.h_l), -np.inf)
+    h_u = np.where(np.asarray(ddata.hu_mask), np.asarray(ddata.h_u), np.inf)
+
+    sdata, layout = ms.from_sparse(
+        sp.csc_matrix(P), np.asarray(ddata.c),
+        sp.csc_matrix(A), np.asarray(ddata.b),
+        sp.csc_matrix(G), h_l, h_u,
+    )
+    assert sdata.T >= 3
+    assert sdata.Da >= 2  # at least the true arrow block
+
+    res_stage = solve_prepared(sdata)
+    res_dense = solve_prepared(ddata)
+    assert int(res_stage.info.status) == Status.SOLVED
+    x_user = np.asarray(res_stage.x)[layout.var_map]
+    np.testing.assert_allclose(
+        x_user, np.asarray(res_dense.x), atol=1e-7, rtol=1e-6
+    )
+
+
+def test_sparse_solver_multistage_routing():
+    import scipy.sparse as sp
+    from piqp_tpu import Settings, SparseSolver
+    from piqp_tpu.types import KKTBackend
+
+    sdata0 = ms.random_multistage_qp(T=16, D=3, Da=2, ra=2, rg=2, seed=22)
+    ddata = ms.to_dense(sdata0)
+    h_l = np.where(np.asarray(ddata.hl_mask), np.asarray(ddata.h_l), -np.inf)
+    h_u = np.where(np.asarray(ddata.hu_mask), np.asarray(ddata.h_u), np.inf)
+
+    s = SparseSolver(Settings(kkt_solver=KKTBackend.multistage))
+    s.setup(sp.csc_matrix(np.asarray(ddata.P)), np.asarray(ddata.c),
+            sp.csc_matrix(np.asarray(ddata.A)), np.asarray(ddata.b),
+            sp.csc_matrix(np.asarray(ddata.G)), h_l, h_u)
+    assert s._stage_data is not None, "multistage structure not detected"
+    assert s.solve() == Status.SOLVED
+
+    # same answer via the dense route
+    s2 = SparseSolver(Settings())
+    s2.setup(sp.csc_matrix(np.asarray(ddata.P)), np.asarray(ddata.c),
+             sp.csc_matrix(np.asarray(ddata.A)), np.asarray(ddata.b),
+             sp.csc_matrix(np.asarray(ddata.G)), h_l, h_u)
+    assert s2.solve() == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(s.result.x), np.asarray(s2.result.x), atol=1e-7, rtol=1e-6
+    )
+
+
+def test_detect_rejects_unstructured():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(5)
+    n = 40
+    Q = rng.standard_normal((n, n))
+    P = Q @ Q.T + n * np.eye(n)
+    with pytest.raises(ValueError):
+        ms.from_sparse(sp.csc_matrix(P), np.zeros(n))
