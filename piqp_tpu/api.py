@@ -257,6 +257,9 @@ class DenseSolver:
             self._result = dummy
             return Status.INVALID_SETTINGS
 
+        if self.settings.verbose:
+            self._print_header()
+
         cone = has_cone(self._data)
         t0 = time.perf_counter()
         if self._scaling is None or not self.settings.preconditioner_reuse_on_update:
@@ -269,8 +272,40 @@ class DenseSolver:
 
         self._result = result
         self._solve_time = solve_time
+        if self.settings.compute_timings:
+            # host-side timing mirror of Info's timing fields
+            # (results.hpp:83-88); per-phase device timings require a
+            # profiler trace and are reported as 0 here.
+            info = result.info
+            info.setup_time = self._setup_time
+            info.update_time = self._update_time
+            info.solve_time = solve_time
+            info.kkt_factor_time = 0.0
+            info.kkt_solve_time = 0.0
+            info.run_time = (
+                self._setup_time if self._first_run else self._update_time
+            ) + solve_time
         self._first_run = False
-        return Status(int(result.info.status))
+        status = Status(int(result.info.status))
+        if self.settings.verbose:
+            print(f"\nstatus:               {status.name.lower()}")
+            print(f"number of iterations: {int(result.info.iter)}")
+            print(f"objective:            {float(result.info.primal_obj):.5e}")
+        return status
+
+    def _print_header(self):
+        from . import __version__
+
+        print("----------------------------------------------------------")
+        print(f"              piqp_tpu v{__version__} (TPU-native)        ")
+        print("----------------------------------------------------------")
+        d = self._data
+        print(f"variables n = {d.n}, equality constraints p = {d.p}, "
+              f"inequality constraints m = {d.m}")
+        print()
+        print("iter  prim_obj       dual_obj       duality_gap   prim_res"
+              "      dual_res      rho         delta       mu          "
+              "p_step   d_step")
 
     @property
     def result(self) -> Result:

@@ -813,6 +813,16 @@ def solve_scaled(
         )
 
     def body(st):
+        if settings.verbose:
+            # per-iteration table (solver.hpp:588-604)
+            i = st.info
+            jax.debug.print(
+                "{:3d}   {: .5e}   {: .5e}   {:.5e}   {:.5e}   {:.5e}   "
+                "{:.3e}   {:.3e}   {:.3e}   {:.4f}   {:.4f}",
+                i.iter, i.primal_obj, i.dual_obj, i.duality_gap,
+                i.primal_res, i.dual_res, i.rho, i.delta, i.mu,
+                i.primal_step, i.dual_step,
+            )
         st = _check_termination(data, sc, settings, st)
         return lax.cond(
             st.info.status == int(Status.RUNNING),

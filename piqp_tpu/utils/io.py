@@ -56,6 +56,47 @@ def load_mat(path: str, sparse: bool = False) -> dict:
     return out
 
 
+def save_mat(path: str, prob: dict, sparse: bool = True) -> None:
+    """Save a problem dict to a .mat file readable by the reference's
+    piqp::load_dense_model/load_sparse_model (io_utils.hpp:58-96)."""
+    import scipy.io as sio
+    import scipy.sparse as sp
+
+    n = np.asarray(prob["P"]).shape[0] if not sp.issparse(prob["P"]) else prob["P"].shape[0]
+
+    def mat(M, rows):
+        if M is None:
+            M = np.zeros((rows, n))
+        return sp.csc_matrix(M) if sparse else np.asarray(M, dtype=np.float64)
+
+    m = 0 if prob.get("G") is None else (
+        prob["G"].shape[0] if hasattr(prob["G"], "shape") else np.asarray(prob["G"]).shape[0]
+    )
+    p = 0 if prob.get("A") is None else (
+        prob["A"].shape[0] if hasattr(prob["A"], "shape") else np.asarray(prob["A"]).shape[0]
+    )
+    out = {
+        "P": mat(prob["P"], n),
+        "c": _vec(prob["c"]).reshape(-1, 1),
+        "A": mat(prob.get("A"), 0 if prob.get("A") is None else p),
+        "b": _vec(prob.get("b") if prob.get("b") is not None else np.zeros(p)).reshape(-1, 1),
+        "G": mat(prob.get("G"), 0 if prob.get("G") is None else m),
+        "h_l": _vec(
+            prob.get("h_l") if prob.get("h_l") is not None else np.full(m, -np.inf)
+        ).reshape(-1, 1),
+        "h_u": _vec(
+            prob.get("h_u") if prob.get("h_u") is not None else np.full(m, np.inf)
+        ).reshape(-1, 1),
+        "x_l": _vec(
+            prob.get("x_l") if prob.get("x_l") is not None else np.full(n, -np.inf)
+        ).reshape(-1, 1),
+        "x_u": _vec(
+            prob.get("x_u") if prob.get("x_u") is not None else np.full(n, np.inf)
+        ).reshape(-1, 1),
+    }
+    sio.savemat(path, out)
+
+
 def save_npz(path: str, prob: dict) -> None:
     """Save a problem dict (dense or scipy.sparse matrices) to npz."""
     import scipy.sparse as sp

@@ -21,7 +21,7 @@ import numpy as np
 
 def next_bucket(x: int, minimum: int = 8) -> int:
     """Next power of two >= x (>= minimum)."""
-    b = minimum
+    b = max(minimum, 1)
     while b < x:
         b *= 2
     return b

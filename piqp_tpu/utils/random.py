@@ -60,3 +60,62 @@ def dense_strongly_convex_qp(
     x_u = np.where(both, np.where(loosen, x_sol, x_sol + slack), x_u)
 
     return dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l, h_u=h_u, x_l=x_l, x_u=x_u)
+
+
+def sparse_strongly_convex_qp(
+    dim: int,
+    n_eq: int,
+    n_ineq: int,
+    sparsity_factor: float = 0.1,
+    bounds_perc: float = 0.5,
+    strong_convexity_factor: float = 1e-2,
+    seed: int = 42,
+):
+    """Sparse analog (random_utils.hpp:210): returns scipy.sparse CSC
+    matrices for P/A/G, built from the dense generator's recipe with a
+    sparsified pattern."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    prob = dense_strongly_convex_qp(
+        dim, n_eq, n_ineq, bounds_perc, strong_convexity_factor, seed
+    )
+
+    def sparsify(M, sym=False):
+        mask = rng.uniform(0, 1, M.shape) < sparsity_factor
+        if sym:
+            mask = mask | mask.T
+            np.fill_diagonal(mask, True)
+        return M * mask
+
+    # re-derive a sparse strongly convex P: sparsify off-diagonals, then
+    # restore diagonal dominance
+    P = sparsify(prob["P"], sym=True)
+    row_sums = np.abs(P).sum(axis=1) - np.abs(np.diag(P))
+    np.fill_diagonal(P, row_sums + strong_convexity_factor + 1.0)
+
+    A = sparsify(prob["A"]) if n_eq else prob["A"]
+    G = sparsify(prob["G"]) if n_ineq else prob["G"]
+    rng2 = np.random.default_rng(seed + 1)
+    x_sol = rng2.uniform(-1, 1, dim)
+    b = A @ x_sol if n_eq else prob["b"]
+    if n_ineq:
+        Gx = G @ x_sol
+        margin_l = rng2.uniform(0, 1, n_ineq)
+        margin_u = rng2.uniform(0, 1, n_ineq)
+        h_l = np.where(np.isfinite(prob["h_l"]), Gx - margin_l, -np.inf)
+        h_u = np.where(np.isfinite(prob["h_u"]), Gx + margin_u, np.inf)
+    else:
+        h_l, h_u = prob["h_l"], prob["h_u"]
+
+    return dict(
+        P=sp.csc_matrix(P),
+        c=prob["c"],
+        A=sp.csc_matrix(A),
+        b=b,
+        G=sp.csc_matrix(G),
+        h_l=h_l,
+        h_u=h_u,
+        x_l=prob["x_l"],
+        x_u=prob["x_u"],
+    )

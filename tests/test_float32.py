@@ -1,0 +1,41 @@
+"""float32 fast-path tests: lower precision + iterative refinement
+(the reference's refinement mechanism, kkt_system.hpp:256-301, is exactly
+the tool to recover accuracy from a lower-precision factorization —
+SURVEY.md section 7 delta 5)."""
+
+import numpy as np
+
+from piqp_tpu import Settings, Status, solve_dense
+from piqp_tpu.utils.random import dense_strongly_convex_qp
+
+from helpers import check_optimality
+
+F32 = Settings(
+    dtype="float32",
+    eps_abs=1e-5,
+    eps_rel=1e-6,
+    eps_duality_gap_abs=1e-5,
+    eps_duality_gap_rel=1e-6,
+    iterative_refinement_always_enabled=True,
+    iterative_refinement_eps_abs=1e-6,
+    iterative_refinement_eps_rel=1e-6,
+    iterative_refinement_static_regularization_eps=1e-6,
+)
+
+
+def test_f32_simple_qp():
+    P = np.array([[6.0, 0.0], [0.0, 4.0]])
+    c = np.array([-1.0, -4.0])
+    A = np.array([[1.0, -2.0]])
+    b = np.array([0.0])
+    res = solve_dense(P, c, A, b, settings=F32)
+    assert int(res.info.status) == Status.SOLVED
+    assert res.x.dtype == np.float32
+    assert np.isclose(float(res.x[0]), 0.4285714, atol=1e-4)
+
+
+def test_f32_random_qp():
+    prob = dense_strongly_convex_qp(16, 4, 8, seed=3)
+    res = solve_dense(**prob, settings=F32)
+    assert int(res.info.status) == Status.SOLVED
+    check_optimality(prob, res, tol=5e-3)
