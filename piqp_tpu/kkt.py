@@ -161,17 +161,33 @@ def assemble_condensed(data: QPData, ks: KKTState) -> jax.Array:
 
 
 @singledispatch
-def factor(data, ks: KKTState) -> tuple[KKTState, jax.Array]:
-    """Factor the condensed system; backend chosen by data representation."""
+def factor(data, ks: KKTState, mixed: bool = False) -> tuple[KKTState, jax.Array]:
+    """Factor the condensed system; backend chosen by data representation.
+
+    ``mixed=True`` assembles and factors in float32 (native MXU speed);
+    iterative refinement in the solver dtype recovers accuracy.
+    """
     raise NotImplementedError(type(data))
 
 
 @factor.register
-def _factor_dense(data: QPData, ks: KKTState):
+def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False):
     """Cholesky-factor the condensed matrix; ok=False when the factorization
     produced non-finite values (XLA's cholesky yields NaNs where Eigen's LLT
     reports failure, dense/kkt.hpp:82-83)."""
-    K = assemble_condensed(data, ks)
+    if mixed:
+        f32 = jnp.float32
+        data = data.replace(
+            P=data.P.astype(f32), A=data.A.astype(f32), G=data.G.astype(f32)
+        )
+        ks_f = ks.replace(
+            x_reg=ks.x_reg.astype(f32),
+            z_reg_fact=ks.z_reg_fact.astype(f32),
+            delta_reg=ks.delta_reg.astype(f32),
+        )
+        K = assemble_condensed(data, ks_f)
+    else:
+        K = assemble_condensed(data, ks)
     L = jnp.linalg.cholesky(K)
     ok = jnp.all(jnp.isfinite(L))
     return ks.replace(L=L), ok
@@ -179,16 +195,20 @@ def _factor_dense(data: QPData, ks: KKTState):
 
 @singledispatch
 def condensed_solve_x(data, ks: KKTState, v):
-    """Solve K lx = v with the factored condensed matrix."""
+    """Solve K lx = v with the factored condensed matrix.  The factor may be
+    lower precision than v (mixed mode); solve in factor precision and cast
+    back."""
     raise NotImplementedError(type(data))
 
 
 @condensed_solve_x.register
 def _(data: QPData, ks: KKTState, v):
-    lx = lax.linalg.triangular_solve(ks.L, v, left_side=True, lower=True)
-    return lax.linalg.triangular_solve(
+    vf = v.astype(ks.L.dtype)
+    lx = lax.linalg.triangular_solve(ks.L, vf, left_side=True, lower=True)
+    lx = lax.linalg.triangular_solve(
         ks.L, lx, left_side=True, lower=True, transpose_a=True
     )
+    return lx.astype(v.dtype)
 
 
 def _backend_solve(data, ks: KKTState, rx, ry, rz):

@@ -269,13 +269,18 @@ def _(data: StageQPData):
 
 
 @kkt_mod.factor.register
-def _(data: StageQPData, ks):
+def _(data: StageQPData, ks, mixed: bool = False):
     """Block Cholesky of the tridiagonal+arrow condensed matrix as a scan
     over stages (the reference's sequential recursion,
     multistage_kkt.hpp:1253-1352)."""
     Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
+    if mixed:
+        f32 = jnp.float32
+        Kd, Ksub, Ka, Kc = (
+            Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
+        )
     D, Da = data.D, data.Da
-    dt = data.c.dtype
+    dt = Kd.dtype
 
     def step(carry, blocks):
         C_prev, F_prev, acc = carry
@@ -302,9 +307,9 @@ def _(data: StageQPData, ks, v):
     """Forward/backward block-triangular sweeps
     (solve_llt_in_place, multistage_kkt.hpp:1709-1816)."""
     Ls, Cs, Fs, Lc = ks.L
-    vs, vg = _split_x(data, v)
+    dt = Ls.dtype  # solve in factor precision, cast back at the end
+    vs, vg = _split_x(data, v.astype(dt))
     D = data.D
-    dt = v.dtype
 
     C_prevs = _shift_down(Cs)  # C_prevs[i] = C_{i-1}, zero for i=0
 
@@ -335,7 +340,7 @@ def _(data: StageQPData, ks, v):
     _, xs = lax.scan(
         bwd, jnp.zeros(D, dt), (Ls, Cs, Fs, ws), reverse=True
     )
-    return _join_x(xs, xg)
+    return _join_x(xs, xg).astype(v.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -288,7 +288,7 @@ def factor_ladder(
 
     def attempt(rho, delta, ir):
         ks = kkt.compute_scalings(data, settings, vars, rho, delta, ir, P_diag)
-        return kkt.factor(data, ks)
+        return kkt.factor(data, ks, settings.mixed_precision)
 
     ks, ok = attempt(info.rho, info.delta, use_ir)
     carry = (info.rho, info.delta, info.factor_retires, info.reg_limit,
@@ -354,7 +354,9 @@ def _init_state(
         s_l=one_m_l, s_u=one_m_u, s_bl=one_n_l, s_bu=one_n_u,
     )
 
-    use_ir = jnp.asarray(settings.iterative_refinement_always_enabled)
+    use_ir = jnp.asarray(
+        settings.iterative_refinement_always_enabled or settings.mixed_precision
+    )
     ks, info, use_ir, failed = factor_ladder(
         data, settings, P_diag, vars0, info, use_ir
     )

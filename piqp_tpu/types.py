@@ -134,6 +134,12 @@ class Settings:
     # Compute dtype for the solver; float64 gives reference parity,
     # float32 + iterative refinement is the fast path.
     dtype: str = "float64"
+    # Mixed precision: assemble + Cholesky-factor the condensed KKT system
+    # in float32 (native MXU speed) while the IPM iterates and refines in
+    # the solver dtype.  Iterative refinement is forced on — it is exactly
+    # the reference's accuracy-recovery mechanism (kkt_system.hpp:256-301)
+    # and recovers float64-grade solutions from float32 factors.
+    mixed_precision: bool = False
 
     def verify(self) -> bool:
         """Mirror of Settings::verify_settings (settings.hpp:84-106)."""

@@ -39,3 +39,34 @@ def test_f32_random_qp():
     res = solve_dense(**prob, settings=F32)
     assert int(res.info.status) == Status.SOLVED
     check_optimality(prob, res, tol=5e-3)
+
+
+MIXED = Settings(mixed_precision=True)
+
+
+def test_mixed_precision_full_accuracy():
+    """float32 factor + float64 refinement reaches the default float64
+    tolerances (eps_abs=1e-8)."""
+    prob = dense_strongly_convex_qp(24, 6, 12, seed=8)
+    res = solve_dense(**prob, settings=MIXED)
+    assert int(res.info.status) == Status.SOLVED
+    assert res.x.dtype == np.float64
+    check_optimality(prob, res, tol=1e-6)
+    # agrees with the pure-f64 solve
+    res64 = solve_dense(**prob)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res64.x), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_mixed_precision_multistage():
+    from piqp_tpu import multistage as ms
+    from piqp_tpu import solve_prepared
+
+    sdata = ms.random_multistage_qp(T=8, D=3, Da=2, ra=2, rg=2, seed=31)
+    res = solve_prepared(sdata, MIXED)
+    assert int(res.info.status) == Status.SOLVED
+    res64 = solve_prepared(sdata)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res64.x), atol=1e-6, rtol=1e-6
+    )
