@@ -151,18 +151,23 @@ def has_cone(data: QPData) -> bool:
 @partial(jax.jit, static_argnames=("settings", "cone"))
 def _solve_fresh(data: QPData, settings: Settings, cone: bool):
     """Equilibrate + solve; returns (result, scaling)."""
-    sdata, sc = ruiz.equilibrate(
-        data,
-        max_iter=settings.preconditioner_iter,
-        scale_cost=settings.preconditioner_scale_cost,
-    )
-    return solver.solve_scaled(sdata, sc, settings, cone), sc
+    # float32 matmuls on TPU default to bfloat16 passes — catastrophic for a
+    # factorization-based solver; force full-precision accumulation (f64 is
+    # unaffected).
+    with jax.default_matmul_precision("highest"):
+        sdata, sc = ruiz.equilibrate(
+            data,
+            max_iter=settings.preconditioner_iter,
+            scale_cost=settings.preconditioner_scale_cost,
+        )
+        return solver.solve_scaled(sdata, sc, settings, cone), sc
 
 
 @partial(jax.jit, static_argnames=("settings", "cone"))
 def _solve_reuse(data: QPData, sc: Scaling, settings: Settings, cone: bool):
-    sdata = ruiz.apply_scaling(data, sc)
-    return solver.solve_scaled(sdata, sc, settings, cone)
+    with jax.default_matmul_precision("highest"):
+        sdata = ruiz.apply_scaling(data, sc)
+        return solver.solve_scaled(sdata, sc, settings, cone)
 
 
 def solve_prepared(

@@ -43,7 +43,9 @@ def _solve_batch_jit(data: QPData, settings: Settings, cone: bool) -> Result:
         )
         return solver.solve_scaled(sdata, sc, settings, cone)
 
-    return jax.vmap(one)(data)
+    # see api._solve_fresh: f32 matmuls need full-precision accumulation
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(one)(data)
 
 
 def solve_batch(
