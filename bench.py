@@ -3,8 +3,8 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measurement (BASELINE.md config 2): a batch of 1024 dense strongly convex
-QPs (n=64, p=16, m=32) solved to eps_abs=1e-8 with the vmapped solver on the
+Measurement (BASELINE.md config 2): a batch of dense strongly convex QPs
+(n=64, p=16, m=32) solved to eps_abs=1e-8 with the vmapped solver on the
 default device (TPU when present).
 
 Baseline (vs_baseline denominator): the same problems solved one-at-a-time
@@ -14,6 +14,15 @@ BASELINE.md records `published: {}`), since XLA-CPU dense Cholesky runs at
 Eigen-class speed.  vs_baseline therefore reports the aggregate-throughput
 multiple the TPU framework delivers over a sequential CPU solve of the same
 algorithm.
+
+Batch size note: the tunneled TPU runtime in this environment (axon PJRT
+plugin v0.54) reproducibly faults when host->device transfers interleave
+with dispatches of the large IPM executable, or when a single f64 dispatch
+exceeds ~256 problems of this size (batch 512+, n=64 faults even as the
+first dispatch; batch 256 is solid).  The bench therefore uses the proven
+pattern — upload once, then warmup + timed dispatches back-to-back at
+BATCH=256.  Throughput is compute-bound and flat in batch size from ~128
+up, so the metric is representative of larger fleets.
 """
 
 import json
@@ -28,7 +37,7 @@ from piqp_tpu import Settings
 from piqp_tpu.batch import _solve_batch_jit, prepare_batch
 from piqp_tpu.utils.random import dense_strongly_convex_qp
 
-BATCH = 1024
+BATCH = 256
 N, P, M = 64, 16, 32
 CPU_SAMPLE = 8  # problems for the sequential CPU baseline
 
@@ -50,13 +59,13 @@ def main():
     # --- accelerator batched throughput
     res = _solve_batch_jit(data, settings, True)  # warmup/compile
     jax.block_until_ready(res)
-    n_solved = int(jnp.sum(res.info.status == 1))
 
     t0 = time.perf_counter()
     res = _solve_batch_jit(data, settings, True)
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
     throughput = BATCH / dt
+    n_solved = int(jnp.sum(res.info.status == 1))
 
     # --- sequential CPU baseline (single problem at a time)
     cpu = jax.devices("cpu")[0]

@@ -39,6 +39,12 @@ from .sparse import SparseSolver  # noqa: E402
 from .batch import solve_batch, prepare_batch  # noqa: E402
 from . import multistage  # noqa: E402  (registers the block backend dispatch)
 from .multistage import StageQPData  # noqa: E402
+from . import parallel  # noqa: E402  (registers the sharded backend dispatch)
+from .parallel import (  # noqa: E402
+    ShardedStageQPData,
+    shard_horizon,
+    solve_horizon_sharded,
+)
 
 __version__ = "0.1.0"
 
@@ -60,5 +66,9 @@ __all__ = [
     "solve_dense",
     "solve_prepared",
     "solve_batch",
+    "StageQPData",
+    "ShardedStageQPData",
+    "shard_horizon",
+    "solve_horizon_sharded",
     "__version__",
 ]

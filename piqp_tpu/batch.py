@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from . import ruiz, solver
 from .api import prepare_data
@@ -48,18 +49,47 @@ def _solve_batch_jit(data: QPData, settings: Settings, cone: bool) -> Result:
         return jax.vmap(one)(data)
 
 
+def _solve_batch_chunked(
+    data: QPData, settings: Settings, cone: bool, chunk: int
+) -> Result:
+    """Host-level loop of jit dispatches over ``chunk``-sized sub-batches.
+
+    One executable compiles (per chunk shape); the loop issues async
+    dispatches back-to-back, so device utilization matches the monolithic
+    vmap.  Exists because very large single-dispatch batches trip
+    per-kernel faults in some TPU runtimes, and nesting the vmap inside
+    ``lax.map`` reproduces the same fault (nested control-flow issue);
+    plain re-dispatch is the robust path.
+    """
+    B = data.c.shape[0]
+    outs = []
+    for s in range(0, B, chunk):
+        part = jax.tree.map(lambda x: x[s:s + chunk], data)
+        outs.append(_solve_batch_jit(part, settings, cone))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
 def solve_batch(
     data: QPData,
     settings: Settings = Settings(),
     cone: bool = True,
     sharding: Optional[jax.sharding.Sharding] = None,
+    chunk: int = 0,
 ) -> Result:
     """Solve a batch of QPs (leading axis on every leaf of ``data``).
 
     ``sharding``: optional sharding for the batch axis; pass a
     ``NamedSharding(mesh, P('batch'))`` to scale across devices.  The solve
     is embarrassingly parallel over the batch — XLA inserts no collectives.
+
+    ``chunk``: when nonzero and smaller than the batch, the solve is issued
+    as back-to-back jit dispatches of ``chunk``-sized sub-batches (see
+    ``_solve_batch_chunked``); throughput is unchanged for compute-bound
+    configs while the per-dispatch working set stays bounded.
     """
     if sharding is not None:
         data = jax.device_put(data, sharding)
+    B = data.c.shape[0]
+    if chunk and B > chunk:
+        return _solve_batch_chunked(data, settings, cone, chunk)
     return _solve_batch_jit(data, settings, cone)

@@ -268,18 +268,22 @@ def _(data: StageQPData):
     )
 
 
-@kkt_mod.factor.register
-def _(data: StageQPData, ks, mixed: bool = False):
-    """Block Cholesky of the tridiagonal+arrow condensed matrix as a scan
-    over stages (the reference's sequential recursion,
-    multistage_kkt.hpp:1253-1352)."""
-    Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
-    if mixed:
-        f32 = jnp.float32
-        Kd, Ksub, Ka, Kc = (
-            Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
-        )
-    D, Da = data.D, data.Da
+def chain_factor(Kd, Ksub, Ka):
+    """Block Cholesky sweep of a block-tridiagonal chain with a width-W
+    coupling ("arrow") row — the reference's sequential stage recursion
+    (factor_kkt, multistage_kkt.hpp:1253-1352) as a ``lax.scan``:
+
+        L_i = chol(Kd_i - C_{i-1} C_{i-1}'),  C_i = Ksub_i L_i^{-T},
+        F_i = (Ka_i - F_{i-1} C_{i-1}') L_i^{-T},  acc = sum_i F_i F_i'
+
+    Shapes: Kd (T,D,D); Ksub (T,D,D) with Ksub[i] = K[i+1,i] (last entry
+    must be zero); Ka (T,W,D).  Returns (Ls, Cs, Fs, acc) with acc (W,W).
+    Also the building block of the horizon-sharded factorization
+    (parallel/horizon.py), where W = 2D+Da couples each chunk to its
+    boundary separators plus the global arrow.
+    """
+    D = Kd.shape[-1]
+    W = Ka.shape[-2]
     dt = Kd.dtype
 
     def step(carry, blocks):
@@ -292,8 +296,62 @@ def _(data: StageQPData, ks, mixed: bool = False):
         acc = acc + F @ F.T
         return (C, F, acc), (L, C, F)
 
-    init = (jnp.zeros((D, D), dt), jnp.zeros((Da, D), dt), jnp.zeros((Da, Da), dt))
+    init = (jnp.zeros((D, D), dt), jnp.zeros((W, D), dt), jnp.zeros((W, W), dt))
     (_, _, acc), (Ls, Cs, Fs) = lax.scan(step, init, (Kd, Ksub, Ka))
+    return Ls, Cs, Fs, acc
+
+
+def chain_fwd(Ls, Cs, Fs, vs):
+    """Forward block-triangular sweep w = L^{-1} v over the chain; returns
+    (ws, gacc) with gacc = sum_i F_i w_i, the RHS contribution to the
+    arrow/coupling rows (solve_llt_in_place fwd, multistage_kkt.hpp:1709+)."""
+    D = Ls.shape[-1]
+    W = Fs.shape[-2]
+    dt = Ls.dtype
+    C_prevs = _shift_down(Cs)  # C_prevs[i] = C_{i-1}, zero for i=0
+
+    def fwd(carry, blocks):
+        v_prev, gacc = carry
+        L_i, C_prev, F_i, r_i = blocks
+        u = r_i - C_prev @ v_prev
+        w = _tsolve(L_i, u)
+        return (w, gacc + F_i @ w), w
+
+    (_, gacc), ws = lax.scan(
+        fwd, (jnp.zeros(D, dt), jnp.zeros(W, dt)), (Ls, C_prevs, Fs, vs)
+    )
+    return ws, gacc
+
+
+def chain_bwd(Ls, Cs, Fs, ws, xa):
+    """Backward sweep x_i = L_i^{-T} (w_i - C_i' x_{i+1} - F_i' xa) given the
+    solved arrow/coupling variables xa (W,)."""
+    D = Ls.shape[-1]
+    dt = Ls.dtype
+
+    def bwd(carry, blocks):
+        x_next = carry
+        L_i, C_i, F_i, w_i = blocks
+        u = w_i - C_i.T @ x_next - F_i.T @ xa
+        x_i = _tsolve(L_i, u, transpose=True)
+        return x_i, x_i
+
+    _, xs = lax.scan(bwd, jnp.zeros(D, dt), (Ls, Cs, Fs, ws), reverse=True)
+    return xs
+
+
+@kkt_mod.factor.register
+def _(data: StageQPData, ks, mixed: bool = False):
+    """Block Cholesky of the tridiagonal+arrow condensed matrix as a scan
+    over stages (the reference's sequential recursion,
+    multistage_kkt.hpp:1253-1352)."""
+    Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
+    if mixed:
+        f32 = jnp.float32
+        Kd, Ksub, Ka, Kc = (
+            Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
+        )
+    Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
     Lc = jnp.linalg.cholesky(Kc - acc)
 
     ok = jnp.logical_and(
@@ -309,37 +367,11 @@ def _(data: StageQPData, ks, v):
     Ls, Cs, Fs, Lc = ks.L
     dt = Ls.dtype  # solve in factor precision, cast back at the end
     vs, vg = _split_x(data, v.astype(dt))
-    D = data.D
 
-    C_prevs = _shift_down(Cs)  # C_prevs[i] = C_{i-1}, zero for i=0
-
-    def fwd(carry, blocks):
-        v_prev, gacc = carry
-        L_i, C_prev, F_i, r_i = blocks
-        u = r_i - C_prev @ v_prev
-        w = _tsolve(L_i, u)
-        return (w, gacc + F_i @ w), w
-
-    (_, gacc), ws = lax.scan(
-        fwd,
-        (jnp.zeros(D, dt), jnp.zeros(data.Da, dt)),
-        (Ls, C_prevs, Fs, vs),
-    )
+    ws, gacc = chain_fwd(Ls, Cs, Fs, vs)
     wg = _tsolve(Lc, vg - gacc)
-
-    # backward sweep
     xg = _tsolve(Lc, wg, transpose=True)
-
-    def bwd(carry, blocks):
-        x_next = carry
-        L_i, C_i, F_i, w_i = blocks
-        u = w_i - C_i.T @ x_next - F_i.T @ xg
-        x_i = _tsolve(L_i, u, transpose=True)
-        return x_i, x_i
-
-    _, xs = lax.scan(
-        bwd, jnp.zeros(D, dt), (Ls, Cs, Fs, ws), reverse=True
-    )
+    xs = chain_bwd(Ls, Cs, Fs, ws, xg)
     return _join_x(xs, xg).astype(v.dtype)
 
 

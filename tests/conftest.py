@@ -36,3 +36,17 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# The CPU backend's compiler segfaults after enough large executables
+# accumulate in one process (reproduced: the same shard_map compile that
+# passes standalone crashes at the tail of the full suite).  Dropping the
+# in-memory executable caches periodically keeps the process well below the
+# blowup point; the persistent disk cache makes re-compiles cheap.
+_TESTS_BETWEEN_CACHE_CLEARS = 40
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _TESTS_BETWEEN_CACHE_CLEARS == 0:
+        jax.clear_caches()

@@ -1,0 +1,126 @@
+"""Horizon-sharded multistage backend tests.
+
+Runs on the virtual 8-device CPU mesh (conftest).  Oracle: the sequential
+multistage backend (itself validated against the dense condensed backend,
+test_multistage.py) — the partitioned Schur-complement factorization must
+reproduce its factor/solve results and full IPM solutions.
+
+NOTE: named test_zz_* so these run LAST.  On the forced-host-platform CPU
+backend, running shard_map collectives leaves the process in a state where
+a later large XLA *compilation* can segfault (upstream jaxlib issue,
+reproduced deterministically with this suite; real-TPU and standalone runs
+are unaffected).  Keeping the mesh tests at the end means no compilation
+follows them in-process.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import piqp_tpu  # noqa: F401  (registers dispatch)
+from piqp_tpu import Settings, Status, solve_prepared
+from piqp_tpu import kkt as kkt_mod
+from piqp_tpu import multistage as ms
+from piqp_tpu.parallel import pad_stages, shard_horizon, solve_horizon_sharded
+from piqp_tpu.types import Vars
+
+from test_multistage import _rand_vars
+
+NDEV = 4
+
+
+def _mesh(ndev=NDEV):
+    return Mesh(np.array(jax.devices()[:ndev]), axis_names=("sp",))
+
+
+CASES = [
+    dict(T=8, D=3, Da=2, ra=2, rg=2, seed=0),
+    dict(T=16, D=4, Da=0, ra=2, rg=3, seed=1),
+    dict(T=8, D=2, Da=1, ra=0, rg=2, seed=2),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_sharded_factor_solve_matches_sequential(case):
+    settings = Settings()
+    sdata = ms.random_multistage_qp(**case)
+    mesh = _mesh()
+    shdata = shard_horizon(sdata, mesh)
+    assert shdata.T == sdata.T  # no padding needed for these cases
+
+    vars = _rand_vars(sdata, case["seed"] + 50)
+    info_rho, info_delta = 1e-6, 1e-4
+    P_diag = piqp_tpu.ops.P_diag(sdata)
+
+    ks_seq = kkt_mod.compute_scalings(
+        sdata, settings, vars, info_rho, info_delta, jnp.asarray(False), P_diag
+    )
+    ks_seq, ok_seq = kkt_mod.factor(sdata, ks_seq)
+    assert bool(ok_seq)
+
+    ks_sh = kkt_mod.compute_scalings(
+        shdata, settings, vars, info_rho, info_delta, jnp.asarray(False), P_diag
+    )
+    ks_sh, ok_sh = kkt_mod.factor(shdata, ks_sh)
+    assert bool(ok_sh)
+
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal(sdata.n))
+    x_seq = kkt_mod.condensed_solve_x(sdata, ks_seq, v)
+    x_sh = kkt_mod.condensed_solve_x(shdata, ks_sh, v)
+    np.testing.assert_allclose(
+        np.asarray(x_sh), np.asarray(x_seq), rtol=1e-9, atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("case", CASES[:2])
+def test_sharded_full_solve_matches_sequential(case):
+    sdata = ms.random_multistage_qp(**case)
+    res_seq = solve_prepared(sdata)
+    assert int(res_seq.info.status) == Status.SOLVED
+
+    res_sh = solve_horizon_sharded(sdata, _mesh())
+    assert int(res_sh.info.status) == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_seq.x), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.y), np.asarray(res_seq.y), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_pad_stages_preserves_solution():
+    case = dict(T=5, D=3, Da=2, ra=2, rg=2, seed=4)
+    sdata = ms.random_multistage_qp(**case)
+    res_seq = solve_prepared(sdata)
+    assert int(res_seq.info.status) == Status.SOLVED
+
+    # T=5 over 4 devices forces padding to T=8
+    res_sh = solve_horizon_sharded(sdata, _mesh())
+    assert int(res_sh.info.status) == Status.SOLVED
+
+    T, D, Da = case["T"], case["D"], case["Da"]
+    x_sh = np.asarray(res_sh.x)
+    T_pad = (x_sh.shape[0] - Da) // D
+    # original stage coords + arrow tail
+    x_orig = np.concatenate(
+        [x_sh[: T * D], x_sh[T_pad * D:]]
+    )
+    np.testing.assert_allclose(
+        x_orig, np.asarray(res_seq.x), rtol=1e-6, atol=1e-7
+    )
+    # padded stages solve the isolated identity sub-problem -> exactly 0
+    np.testing.assert_allclose(x_sh[T * D: T_pad * D], 0.0, atol=1e-9)
+
+
+def test_eight_device_mesh():
+    case = dict(T=16, D=3, Da=2, ra=2, rg=2, seed=6)
+    sdata = ms.random_multistage_qp(**case)
+    res_seq = solve_prepared(sdata)
+    res_sh = solve_horizon_sharded(sdata, _mesh(8))
+    assert int(res_sh.info.status) == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_seq.x), rtol=1e-6, atol=1e-7
+    )
