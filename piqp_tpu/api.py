@@ -25,7 +25,9 @@ import numpy as np
 from . import ruiz, solver
 from .types import (
     PIQP_INF,
+    FullKKTQPData,
     Info,
+    KKTBackend,
     QPData,
     Result,
     Scaling,
@@ -33,6 +35,18 @@ from .types import (
     Status,
     identity_scaling,
 )
+
+
+def _route_backend(data: QPData, settings: Settings) -> QPData:
+    """Re-wrap the data in the representation matching settings.kkt_solver
+    (the representation type IS the backend selector; see kkt.py)."""
+    import dataclasses
+
+    if settings.kkt_solver == KKTBackend.dense_lu and type(data) is QPData:
+        return FullKKTQPData(
+            **{f.name: getattr(data, f.name) for f in dataclasses.fields(QPData)}
+        )
+    return data
 
 
 def _as_2d(M, rows, cols, dtype):
@@ -175,6 +189,7 @@ def solve_prepared(
 ) -> Result:
     """Functional solve of a prepared problem. jit/vmap-compatible building
     block (use `_solve_fresh` pieces directly for full control)."""
+    data = _route_backend(data, settings)
     cone = has_cone(data)
     if scaling is not None:
         return _solve_reuse(data, scaling, settings, cone)
@@ -265,13 +280,14 @@ class DenseSolver:
         if self.settings.verbose:
             self._print_header()
 
-        cone = has_cone(self._data)
+        data = _route_backend(self._data, self.settings)
+        cone = has_cone(data)
         t0 = time.perf_counter()
         if self._scaling is None or not self.settings.preconditioner_reuse_on_update:
-            result, sc = _solve_fresh(self._data, self.settings, cone)
+            result, sc = _solve_fresh(data, self.settings, cone)
             self._scaling = sc
         else:
-            result = _solve_reuse(self._data, self._scaling, self.settings, cone)
+            result = _solve_reuse(data, self._scaling, self.settings, cone)
         result = jax.block_until_ready(result)
         solve_time = time.perf_counter() - t0
 

@@ -1,0 +1,892 @@
+"""Host sparse backend: the same proximal IPM over scipy.sparse, CPU-side.
+
+Large general sparse QPs with no exploitable block structure are the one
+problem class a TPU cannot factorize natively (scalar etree-chasing LDL^T,
+/root/reference/include/piqp/sparse/ldlt.hpp:101-169, is the canonical
+anti-pattern for the MXU/VPU).  The routing rule documented in SURVEY.md §7:
+condense small problems to the dense MXU path, route structured problems to
+the multistage backend, and run the remainder on the host.  This module is
+that host path — a NumPy twin of the JAX IPM (solver.py), iteration-for-
+iteration identical in its update rules, over the reference's *full*
+3-block sparse KKT mode:
+
+    [ P + diag(x_reg)   A'              G'               ] [dx]   [rx]
+    [ A                 -delta_reg I                     ] [dy] = [ry]
+    [ G                                 -diag(z_reg_fac) ] [dz]   [rz]
+
+(the KKT_FULL backend, /root/reference/include/piqp/sparse/kkt_full.hpp:
+22-252, with the condensation/recovery of kkt_system.hpp:213-369), factored
+with SuperLU instead of an up-looking LDL^T — a deliberate re-design, not a
+port: pivoted LU is the robust factorization scipy ships, and the iterative
+refinement loop (kkt_system.hpp:254-308) recovers any accuracy difference.
+
+Doubles as the reference oracle for the device solver in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from .types import PIQP_INF, Settings, Status
+
+MIN_SCALING = 1e-4
+MAX_SCALING = 1e4
+
+
+@dataclasses.dataclass
+class HostData:
+    P: sp.csc_matrix  # full symmetric
+    c: np.ndarray
+    A: sp.csc_matrix
+    b: np.ndarray
+    G: sp.csc_matrix
+    h_l: np.ndarray
+    h_u: np.ndarray
+    x_l: np.ndarray
+    x_u: np.ndarray
+    x_b_scaling: np.ndarray
+    hl_mask: np.ndarray
+    hu_mask: np.ndarray
+    xl_mask: np.ndarray
+    xu_mask: np.ndarray
+
+    @property
+    def n(self):
+        return self.P.shape[0]
+
+    @property
+    def p(self):
+        return self.A.shape[0]
+
+    @property
+    def m(self):
+        return self.G.shape[0]
+
+
+@dataclasses.dataclass
+class HostScaling:
+    c: float
+    d_x: np.ndarray
+    d_y: np.ndarray
+    d_z: np.ndarray
+    d_b: np.ndarray
+
+
+@dataclasses.dataclass
+class HostResult:
+    x: np.ndarray
+    y: np.ndarray
+    z_l: np.ndarray
+    z_u: np.ndarray
+    z_bl: np.ndarray
+    z_bu: np.ndarray
+    s_l: np.ndarray
+    s_u: np.ndarray
+    s_bl: np.ndarray
+    s_bu: np.ndarray
+    info: "HostInfo"
+
+
+@dataclasses.dataclass
+class HostInfo:
+    status: int = int(Status.UNSOLVED)
+    iter: int = 0
+    rho: float = 0.0
+    delta: float = 0.0
+    mu: float = 0.0
+    sigma: float = 0.0
+    primal_step: float = 0.0
+    dual_step: float = 0.0
+    primal_res: float = np.inf
+    primal_res_rel: float = np.inf
+    dual_res: float = np.inf
+    dual_res_rel: float = np.inf
+    primal_obj: float = 0.0
+    dual_obj: float = 0.0
+    duality_gap: float = np.inf
+    duality_gap_rel: float = np.inf
+    factor_retires: int = 0
+    no_primal_update: int = 0
+    no_dual_update: int = 0
+    primal_res_reg: float = np.inf
+    primal_res_reg_rel: float = np.inf
+    dual_res_reg: float = np.inf
+    dual_res_reg_rel: float = np.inf
+    primal_prox_inf: float = 0.0
+    dual_prox_inf: float = 0.0
+
+
+def prepare_sparse(
+    P, c, A=None, b=None, G=None, h_l=None, h_u=None, x_l=None, x_u=None
+) -> HostData:
+    """Canonicalize into masked CSC form; mirrors api.prepare_data
+    (upper-triangle symmetrization, PIQP_INF masking,
+    disable_inf_constraints — dense/data.hpp:100-169)."""
+    P = sp.csc_matrix(P).astype(np.float64)
+    n = P.shape[0]
+    P = sp.triu(P) + sp.triu(P, 1).T
+
+    A = sp.csc_matrix((0, n)) if A is None else sp.csc_matrix(A).astype(np.float64)
+    G = sp.csc_matrix((0, n)) if G is None else sp.csc_matrix(G).astype(np.float64)
+    p, m = A.shape[0], G.shape[0]
+    c = np.zeros(n) if c is None else np.asarray(c, np.float64).ravel()
+    b = np.zeros(p) if b is None else np.asarray(b, np.float64).ravel()
+    h_l = np.full(m, -np.inf) if h_l is None else np.asarray(h_l, np.float64).ravel()
+    h_u = np.full(m, np.inf) if h_u is None else np.asarray(h_u, np.float64).ravel()
+    x_l = np.full(n, -np.inf) if x_l is None else np.asarray(x_l, np.float64).ravel()
+    x_u = np.full(n, np.inf) if x_u is None else np.asarray(x_u, np.float64).ravel()
+
+    hl_mask = h_l > -PIQP_INF
+    hu_mask = h_u < PIQP_INF
+    dead = ~hl_mask & ~hu_mask
+    if dead.any():
+        Glil = G.tolil()
+        Glil[np.where(dead)[0], :] = 0.0
+        G = Glil.tocsc()
+        h_l = np.where(dead, -1.0, h_l)
+        h_u = np.where(dead, 1.0, h_u)
+        hl_mask = h_l > -PIQP_INF
+        hu_mask = h_u < PIQP_INF
+    xl_mask = x_l > -PIQP_INF
+    xu_mask = x_u < PIQP_INF
+
+    return HostData(
+        P=P.tocsc(), c=c, A=A.tocsc(), b=b, G=G.tocsc(),
+        h_l=np.where(hl_mask, h_l, 0.0),
+        h_u=np.where(hu_mask, h_u, 0.0),
+        x_l=np.where(xl_mask, x_l, 0.0),
+        x_u=np.where(xu_mask, x_u, 0.0),
+        x_b_scaling=np.ones(n),
+        hl_mask=hl_mask, hu_mask=hu_mask, xl_mask=xl_mask, xu_mask=xu_mask,
+    )
+
+
+def _limit_scaling(d):
+    d = np.where(d < MIN_SCALING, 1.0, d)
+    return np.where(d > MAX_SCALING, MAX_SCALING, d)
+
+
+def equilibrate_host(data: HostData, max_iter=10, scale_cost=False, epsilon=1e-3):
+    """Ruiz equilibration over CSC (same semantics as ruiz.py /
+    sparse::RuizEquilibration, sparse/preconditioner.hpp:26-60+)."""
+    n, p, m = data.n, data.p, data.m
+    P, A, G = data.P.copy(), data.A.copy(), data.G.copy()
+    c = data.c.copy()
+    xb = data.x_b_scaling.copy()
+    cost = 1.0
+    d_x, d_y, d_z, d_b = np.ones(n), np.ones(p), np.ones(m), np.ones(n)
+
+    def colmax(M):
+        M = abs(M)
+        return np.asarray(M.max(axis=0).todense()).ravel() if M.shape[0] else np.zeros(M.shape[1])
+
+    def rowmax(M):
+        M = abs(M)
+        return np.asarray(M.max(axis=1).todense()).ravel() if M.shape[1] else np.zeros(M.shape[0])
+
+    for _ in range(max_iter):
+        norm_x = colmax(P)
+        if p:
+            norm_x = np.maximum(norm_x, colmax(A))
+        if m:
+            norm_x = np.maximum(norm_x, colmax(G))
+        norm_x = np.maximum(norm_x, xb)
+        dx = 1.0 / np.sqrt(_limit_scaling(norm_x))
+        dy = 1.0 / np.sqrt(_limit_scaling(rowmax(A))) if p else np.ones(0)
+        dz = 1.0 / np.sqrt(_limit_scaling(rowmax(G))) if m else np.ones(0)
+        db = 1.0 / np.sqrt(_limit_scaling(xb))
+
+        Dx = sp.diags(dx)
+        P = (Dx @ P @ Dx).tocsc()
+        if p:
+            A = (sp.diags(dy) @ A @ Dx).tocsc()
+        if m:
+            G = (sp.diags(dz) @ G @ Dx).tocsc()
+        c = c * dx
+        xb = xb * db * dx
+        d_x, d_y, d_z, d_b = d_x * dx, d_y * dy, d_z * dz, d_b * db
+
+        if scale_cost:
+            # mean column norm of P vs |c|_inf (preconditioner.hpp:148-169)
+            pn = colmax(P)
+            gamma = _limit_scaling(np.asarray(pn.sum() / max(n, 1)))
+            gamma = 1.0 / float(
+                _limit_scaling(np.maximum(gamma, np.abs(c).max(initial=0.0)))
+            )
+            P = P * gamma
+            c = c * gamma
+            cost *= gamma
+
+        measure = max(
+            np.abs(1.0 - dx).max(initial=0.0),
+            np.abs(1.0 - dy).max(initial=0.0) if p else 0.0,
+            np.abs(1.0 - dz).max(initial=0.0) if m else 0.0,
+            np.abs(1.0 - db).max(initial=0.0),
+        )
+        if measure < epsilon:
+            break
+
+    scaled = HostData(
+        P=P, c=c, A=A, b=data.b * d_y, G=G,
+        h_l=data.h_l * d_z, h_u=data.h_u * d_z,
+        x_l=data.x_l * d_b, x_u=data.x_u * d_b,
+        x_b_scaling=xb,
+        hl_mask=data.hl_mask, hu_mask=data.hu_mask,
+        xl_mask=data.xl_mask, xu_mask=data.xu_mask,
+    )
+    return scaled, HostScaling(cost, d_x, d_y, d_z, d_b)
+
+
+def _safe_inv(x, mask):
+    return np.where(mask, 1.0 / np.where(mask, x, 1.0), 0.0)
+
+
+class _KKT:
+    """Scalings + full sparse KKT factor/solve (KKTSystem + KKT_FULL)."""
+
+    def __init__(self, data: HostData, settings: Settings):
+        self.data = data
+        self.settings = settings
+        self.P_diag = data.P.diagonal()
+        # refinement (without static reg) is always on: SuperLU's pivoted
+        # factors of the quasidefinite KKT lose accuracy on ill-conditioned
+        # instances (Netlib pilotnov stalls at primal_res ~2e-2 unrefined);
+        # refining against the unperturbed system leaves well-conditioned
+        # trajectories bit-identical while recovering the hard ones.
+        self.refine = True
+        self.refine_stalled = False
+
+    def compute_scalings(self, v, rho, delta, use_ir):
+        d, s = self.data, self
+        s.rho, s.delta = rho, delta
+        s.z_l_inv = _safe_inv(v.z_l, d.hl_mask)
+        s.z_u_inv = _safe_inv(v.z_u, d.hu_mask)
+        s.z_bl_inv = _safe_inv(v.z_bl, d.xl_mask)
+        s.z_bu_inv = _safe_inv(v.z_bu, d.xu_mask)
+        s.s_l, s.s_u, s.s_bl, s.s_bu = v.s_l, v.s_u, v.s_bl, v.s_bu
+        s.W_l_inv = np.where(d.hl_mask, 1.0 / (s.z_l_inv * v.s_l + delta), 0.0)
+        s.W_u_inv = np.where(d.hu_mask, 1.0 / (s.z_u_inv * v.s_u + delta), 0.0)
+        s.W_bl_inv = np.where(d.xl_mask, 1.0 / (s.z_bl_inv * v.s_bl + delta), 0.0)
+        s.W_bu_inv = np.where(d.xu_mask, 1.0 / (s.z_bu_inv * v.s_bu + delta), 0.0)
+        xb2 = d.x_b_scaling**2
+        s.x_reg = rho + xb2 * s.W_bl_inv + xb2 * s.W_bu_inv
+        zs = s.W_l_inv + s.W_u_inv
+        s.z_reg = np.where(zs > 0, 1.0 / np.where(zs > 0, zs, 1.0), 0.0)
+        # static regularization (kkt_system.hpp:195-207).  Unlike the
+        # device backends, refinement itself is ALWAYS on for the host LU
+        # (see solve_host); the static regularization — which perturbs the
+        # factored system and hence the iterate trajectory — is only added
+        # when the recovery ladder requests it, exactly like the reference.
+        max_diag = np.abs(self.P_diag + s.x_reg).max(initial=0.0)
+        max_diag = max(max_diag, np.abs(s.z_reg).max(initial=0.0))
+        reg = (
+            settings_reg(self.settings) + self.settings.static_reg_rel() * max_diag
+            if use_ir else 0.0
+        )
+        s.use_ir = use_ir
+        s.x_reg_f = s.x_reg + reg
+        s.z_reg_f = s.z_reg + reg
+        s.delta_f = delta + reg
+
+    def factor(self):
+        d = self.data
+        p, m = d.p, d.m
+        Pb = d.P + sp.diags(self.x_reg_f)
+        row_x = [Pb] + ([d.A.T] if p else []) + ([d.G.T] if m else [])
+        blocks = [row_x]
+        if p:
+            blocks.append(
+                [d.A, -self.delta_f * sp.eye(p)] + ([None] if m else [])
+            )
+        if m:
+            blocks.append(
+                [d.G] + ([None] if p else []) + [-sp.diags(self.z_reg_f)]
+            )
+        K = sp.bmat(blocks, format="csc") if (p or m) else Pb.tocsc()
+        try:
+            self.lu = spla.splu(K)
+            ok = np.isfinite(self.lu.L.data).all() and np.isfinite(self.lu.U.data).all()
+        except RuntimeError:
+            self.lu = None
+            ok = False
+        return bool(ok)
+
+    # condensed (x,y,z) matvec for refinement (kkt_system.hpp:507-519):
+    # statically regularized x_reg, UNregularized delta / z_reg.
+    def mul_condensed(self, lx, ly, lz):
+        d = self.data
+        rx = d.P @ lx + self.x_reg_f * lx
+        ry = np.zeros(d.p)
+        rz = np.zeros(d.m)
+        if d.p:
+            rx = rx + d.A.T @ ly
+            ry = d.A @ lx - self.delta * ly
+        if d.m:
+            rx = rx + d.G.T @ lz
+            rz = d.G @ lx - self.z_reg * lz
+        return rx, ry, rz
+
+    def solve_xyz(self, rx, ry, rz):
+        d = self.data
+        rhs = np.concatenate([rx, ry, rz])
+        sol = self.lu.solve(rhs)
+        lx, ly, lz = sol[: d.n], sol[d.n: d.n + d.p], sol[d.n + d.p:]
+
+        if not self.refine:
+            return lx, ly, lz, np.isfinite(sol).all()
+
+        st = self.settings
+        rhs_norm = np.abs(rhs).max(initial=0.0)
+        tol = st.iterative_refinement_eps_abs + st.iterative_refinement_eps_rel * rhs_norm
+        self.refine_stalled = False
+        ex, ey, ez = self.mul_condensed(lx, ly, lz)
+        ex, ey, ez = rx - ex, ry - ey, rz - ez
+        err = max(np.abs(ex).max(initial=0.0), np.abs(ey).max(initial=0.0),
+                  np.abs(ez).max(initial=0.0))
+        if not np.isfinite(err):
+            return lx, ly, lz, False
+        for _ in range(st.iterative_refinement_max_iter):
+            if err <= tol:
+                break
+            dsol = self.lu.solve(np.concatenate([ex, ey, ez]))
+            cx = lx + dsol[: d.n]
+            cy = ly + dsol[d.n: d.n + d.p]
+            cz = lz + dsol[d.n + d.p:]
+            nex, ney, nez = self.mul_condensed(cx, cy, cz)
+            nex, ney, nez = rx - nex, ry - ney, rz - nez
+            nerr = max(np.abs(nex).max(initial=0.0), np.abs(ney).max(initial=0.0),
+                       np.abs(nez).max(initial=0.0))
+            if not np.isfinite(nerr):
+                return lx, ly, lz, False
+            rate = err / nerr if nerr > 0 else np.inf
+            if rate < st.iterative_refinement_min_improvement_rate and rate <= 1.0:
+                break  # keep the better iterate (kkt_system.hpp:289-301)
+            lx, ly, lz = cx, cy, cz
+            ex, ey, ez, err = nex, ney, nez, nerr
+            if rate < st.iterative_refinement_min_improvement_rate:
+                break
+        # refinement stalled far above target accuracy: signal the driver to
+        # escalate to statically-regularized factors (the LU analog of the
+        # reference's enable-refinement recovery step, solver.hpp:687-708)
+        self.refine_stalled = err > 1e3 * tol
+        return lx, ly, lz, True
+
+    def solve(self, rhs):
+        """Full KKT solve with slack/box condensation and recovery
+        (kkt_system.hpp:213-369); rhs/lhs are _Vars."""
+        d, s = self.data, self
+        rz_l_bar = np.where(d.hl_mask, rhs.z_l - s.z_l_inv * rhs.s_l, 0.0)
+        rz_u_bar = np.where(d.hu_mask, rhs.z_u - s.z_u_inv * rhs.s_u, 0.0)
+        rhs_z = s.z_reg * (-s.W_l_inv * rz_l_bar + s.W_u_inv * rz_u_bar)
+
+        rb_l = np.where(d.xl_mask, rhs.z_bl - s.z_bl_inv * rhs.s_bl, 0.0)
+        rb_u = np.where(d.xu_mask, rhs.z_bu - s.z_bu_inv * rhs.s_bu, 0.0)
+        rhs_x = (
+            rhs.x
+            - d.x_b_scaling * s.W_bl_inv * rb_l
+            + d.x_b_scaling * s.W_bu_inv * rb_u
+        )
+
+        lx, ly, lz, ok = self.solve_xyz(rhs_x, rhs.y, rhs_z)
+
+        r_sum = s.W_l_inv * s.W_u_inv * (rz_l_bar + rz_u_bar)
+        lz_l = np.where(d.hl_mask, -s.z_reg * (r_sum + s.W_l_inv * lz), 0.0)
+        lz_u = np.where(d.hu_mask, -s.z_reg * (r_sum - s.W_u_inv * lz), 0.0)
+        ls_l = np.where(d.hl_mask, s.z_l_inv * (rhs.s_l - s.s_l * lz_l), 0.0)
+        ls_u = np.where(d.hu_mask, s.z_u_inv * (rhs.s_u - s.s_u * lz_u), 0.0)
+        lz_bl = np.where(
+            d.xl_mask,
+            (-d.x_b_scaling * lx - rhs.z_bl + s.z_bl_inv * rhs.s_bl) * s.W_bl_inv, 0.0,
+        )
+        lz_bu = np.where(
+            d.xu_mask,
+            (d.x_b_scaling * lx - rhs.z_bu + s.z_bu_inv * rhs.s_bu) * s.W_bu_inv, 0.0,
+        )
+        ls_bl = np.where(d.xl_mask, s.z_bl_inv * (rhs.s_bl - s.s_bl * lz_bl), 0.0)
+        ls_bu = np.where(d.xu_mask, s.z_bu_inv * (rhs.s_bu - s.s_bu * lz_bu), 0.0)
+        return _Vars(lx, ly, lz_l, lz_u, lz_bl, lz_bu, ls_l, ls_u, ls_bl, ls_bu), ok
+
+
+def settings_reg(settings: Settings) -> float:
+    return settings.iterative_refinement_static_regularization_eps
+
+
+@dataclasses.dataclass
+class _Vars:
+    x: np.ndarray
+    y: np.ndarray
+    z_l: np.ndarray
+    z_u: np.ndarray
+    z_bl: np.ndarray
+    z_bu: np.ndarray
+    s_l: np.ndarray = None
+    s_u: np.ndarray = None
+    s_bl: np.ndarray = None
+    s_bu: np.ndarray = None
+
+    def copy(self):
+        return _Vars(*(None if v is None else v.copy() for v in dataclasses.astuple(self)))
+
+
+def _inf(v):
+    return np.abs(v).max(initial=0.0)
+
+
+def _msmax(v, mask):
+    """Signed masked max (solver.py _masked_signed_max)."""
+    return np.where(mask, v, 0.0).max(initial=0.0)
+
+
+def solve_host(
+    data: HostData, settings: Settings = Settings(), verbose: bool = False
+) -> HostResult:
+    """Host-side proximal IPM; mirrors solver.py::solve_scaled step-for-step
+    (itself mirroring solve_impl, solver.hpp:379-882)."""
+    sdata, sc = equilibrate_host(
+        data, max_iter=settings.preconditioner_iter,
+        scale_cost=settings.preconditioner_scale_cost,
+    )
+    d = sdata
+    n, p, m = d.n, d.p, d.m
+    has_cone = bool(m > 0 or d.xl_mask.any() or d.xu_mask.any())
+    info = HostInfo(
+        status=int(Status.RUNNING), rho=settings.rho_init, delta=settings.delta_init
+    )
+    reg_limit = settings.reg_lower_limit
+    kkt = _KKT(d, settings)
+
+    one_ml = np.where(d.hl_mask, 1.0, 0.0)
+    one_mu = np.where(d.hu_mask, 1.0, 0.0)
+    one_nl = np.where(d.xl_mask, 1.0, 0.0)
+    one_nu = np.where(d.xu_mask, 1.0, 0.0)
+    v = _Vars(
+        np.zeros(n), np.zeros(p),
+        one_ml.copy(), one_mu.copy(), one_nl.copy(), one_nu.copy(),
+        one_ml.copy(), one_mu.copy(), one_nl.copy(), one_nu.copy(),
+    )
+    # use_ir gates only the static regularization (see _KKT); plain
+    # refinement is always on.
+    use_ir = settings.iterative_refinement_always_enabled
+
+    bcount = (
+        d.hl_mask.sum() + d.hu_mask.sum() + d.xl_mask.sum() + d.xu_mask.sum()
+    )
+
+    def calc_mu(v):
+        return (
+            v.s_l @ v.z_l + v.s_u @ v.z_u + v.s_bl @ v.z_bl + v.s_bu @ v.z_bu
+        ) / max(bcount, 1)
+
+    def factor_ladder():
+        nonlocal use_ir, reg_limit
+        for _ in range(settings.max_factor_retires + 2):
+            kkt.compute_scalings(v, info.rho, info.delta, use_ir)
+            if kkt.factor():
+                info.factor_retires = 0
+                return True
+            if not use_ir:
+                use_ir = True
+                continue
+            if info.factor_retires < settings.max_factor_retires:
+                info.rho *= 100.0
+                info.delta *= 100.0
+                reg_limit = min(10.0 * reg_limit, settings.eps_abs)
+                info.factor_retires += 1
+                continue
+            return False
+        return False
+
+    if not factor_ladder():
+        info.status = int(Status.NUMERICS)
+        return _finalize_host(d, sc, v, info)
+
+    # first solve from raw problem vectors (solver.hpp:473-492)
+    rhs = _Vars(
+        -d.c, d.b.copy(),
+        np.where(d.hl_mask, -d.h_l, 0.0), np.where(d.hu_mask, d.h_u, 0.0),
+        np.where(d.xl_mask, -d.x_l, 0.0), np.where(d.xu_mask, d.x_u, 0.0),
+        np.zeros(m), np.zeros(m), np.zeros(n), np.zeros(n),
+    )
+    v_new, _ = kkt.solve(rhs)
+    v = v_new
+
+    if has_cone:
+        delta_s = max(0.0, -min(v.s_l.min(initial=0.0), v.s_u.min(initial=0.0),
+                                v.s_bl.min(initial=0.0), v.s_bu.min(initial=0.0)))
+        delta_z = max(0.0, -min(v.z_l.min(initial=0.0), v.z_u.min(initial=0.0),
+                                v.z_bl.min(initial=0.0), v.z_bu.min(initial=0.0)))
+        for name, mask in (("s_l", d.hl_mask), ("s_u", d.hu_mask),
+                           ("s_bl", d.xl_mask), ("s_bu", d.xu_mask)):
+            setattr(v, name, np.where(mask, getattr(v, name) + delta_s, 0.0))
+        for name, mask in (("z_l", d.hl_mask), ("z_u", d.hu_mask),
+                           ("z_bl", d.xl_mask), ("z_bu", d.xu_mask)):
+            setattr(v, name, np.where(mask, getattr(v, name) + delta_z, 0.0))
+        mu = max(calc_mu(v), 1e-10)
+
+        def recenter(zname, sname, mask):
+            z = getattr(v, zname)
+            c0 = z - delta_z
+            z_new = 0.5 * (c0 + np.sqrt(c0 * c0 + 4.0 * mu))
+            setattr(v, zname, np.where(mask, z_new, 0.0))
+            setattr(v, sname, np.where(mask, z_new - c0, 0.0))
+
+        recenter("z_l", "s_l", d.hl_mask)
+        recenter("z_u", "s_u", d.hu_mask)
+        recenter("z_bl", "s_bl", d.xl_mask)
+        recenter("z_bu", "s_bu", d.xu_mask)
+        info.mu = calc_mu(v)
+
+    prox = _Vars(v.x.copy(), v.y.copy(), v.z_l.copy(), v.z_u.copy(),
+                 v.z_bl.copy(), v.z_bu.copy())
+
+    # --- residuals ----------------------------------------------------------
+    prev_primal_res = prev_dual_res = np.inf
+    c_inv = 1.0 / sc.c
+    ud_x = sc.d_x * c_inv
+    dyi = 1.0 / sc.d_y if p else np.ones(0)
+    dzi = 1.0 / sc.d_z if m else np.ones(0)
+    dbi = 1.0 / sc.d_b
+
+    def residuals_nr():
+        Px = d.P @ v.x
+        Ax = d.A @ v.x if p else np.zeros(0)
+        ATy = d.A.T @ v.y if p else np.zeros(n)
+        Gx = d.G @ v.x if m else np.zeros(0)
+        dz_ = v.z_u - v.z_l
+        GTdz = d.G.T @ dz_ if m else np.zeros(n)
+
+        dual_rel = _inf(Px * ud_x)
+        xPx = v.x @ Px
+        cx = d.c @ v.x
+        by = d.b @ v.y if p else 0.0
+        hlzl = d.h_l @ v.z_l if m else 0.0
+        huzu = d.h_u @ v.z_u if m else 0.0
+        xlzbl = d.x_l @ v.z_bl
+        xuzbu = d.x_u @ v.z_bu
+        primal_obj = 0.5 * xPx + cx
+        dual_obj = -0.5 * xPx - by + hlzl - huzu + xlzbl - xuzbu
+        gap_rel = c_inv * max(abs(xPx), abs(cx), abs(by), abs(hlzl),
+                              abs(huzu), abs(xlzbl), abs(xuzbu))
+        info.duality_gap = abs(primal_obj - dual_obj) * c_inv
+        info.primal_obj = primal_obj * c_inv
+        info.dual_obj = dual_obj * c_inv
+        info.duality_gap_rel = info.duality_gap / max(1.0, gap_rel)
+
+        work = ATy + GTdz
+        work = work - np.where(d.xl_mask, d.x_b_scaling * v.z_bl, 0.0)
+        work = work + np.where(d.xu_mask, d.x_b_scaling * v.z_bu, 0.0)
+        dual_rel = max(dual_rel, _inf(d.c * ud_x), _inf(work * ud_x))
+        rx = -Px - d.c - work
+
+        primal_rel = max(_inf(Ax * dyi), _inf(d.b * dyi)) if p else 0.0
+        ry = d.b - Ax
+        rz_l = np.where(d.hl_mask, Gx - d.h_l - v.s_l, 0.0)
+        rz_u = np.where(d.hu_mask, -Gx + d.h_u - v.s_u, 0.0)
+        if m:
+            primal_rel = max(
+                primal_rel,
+                _msmax(Gx * dzi, d.hl_mask), _msmax(d.h_l * dzi, d.hl_mask),
+                _msmax(v.s_l * dzi, d.hl_mask),
+                _msmax(-Gx * dzi, d.hu_mask), _msmax(d.h_u * dzi, d.hu_mask),
+                _msmax(v.s_u * dzi, d.hu_mask),
+            )
+        bx = d.x_b_scaling * v.x
+        rz_bl = np.where(d.xl_mask, bx - d.x_l - v.s_bl, 0.0)
+        rz_bu = np.where(d.xu_mask, -bx + d.x_u - v.s_bu, 0.0)
+        primal_rel = max(
+            primal_rel,
+            _msmax(bx * dbi, d.xl_mask), _msmax(d.x_l * dbi, d.xl_mask),
+            _msmax(v.s_bl * dbi, d.xl_mask),
+            _msmax(-bx * dbi, d.xu_mask), _msmax(d.x_u * dbi, d.xu_mask),
+            _msmax(v.s_bu * dbi, d.xu_mask),
+        )
+        res_nr = _Vars(rx, ry, rz_l, rz_u, rz_bl, rz_bu)
+
+        primal_res = max(
+            _inf(ry * dyi) if p else 0.0,
+            _inf(rz_l * dzi) if m else 0.0, _inf(rz_u * dzi) if m else 0.0,
+            _msmax(rz_bl * dbi, d.xl_mask), _msmax(rz_bu * dbi, d.xu_mask),
+        )
+        dual_res = _inf(rx * ud_x)
+        info.primal_res = primal_res
+        info.primal_res_rel = primal_res / max(1.0, primal_rel)
+        info.dual_res = dual_res
+        info.dual_res_rel = dual_res / max(1.0, dual_rel)
+        return res_nr
+
+    def residuals_reg(res_nr):
+        rho, delta = info.rho, info.delta
+        res = _Vars(
+            res_nr.x - rho * (v.x - prox.x),
+            res_nr.y - delta * (prox.y - v.y),
+            res_nr.z_l - delta * (prox.z_l - v.z_l),
+            res_nr.z_u - delta * (prox.z_u - v.z_u),
+            res_nr.z_bl - delta * (prox.z_bl - v.z_bl),
+            res_nr.z_bu - delta * (prox.z_bu - v.z_bu),
+            np.zeros(m), np.zeros(m), np.zeros(n), np.zeros(n),
+        )
+        primal_rel_sc = info.primal_res / info.primal_res_rel if info.primal_res_rel > 0 else 1.0
+        dual_rel_sc = info.dual_res / info.dual_res_rel if info.dual_res_rel > 0 else 1.0
+        primal_reg = max(
+            _inf(res.y * dyi) if p else 0.0,
+            _inf(res.z_l * dzi) if m else 0.0, _inf(res.z_u * dzi) if m else 0.0,
+            _msmax(res.z_bl * dbi, d.xl_mask), _msmax(res.z_bu * dbi, d.xu_mask),
+        )
+        dual_reg = _inf(res.x * sc.d_x * c_inv)
+        ppi = max(
+            _inf((prox.y - v.y) * sc.d_y * c_inv) if p else 0.0,
+            _inf((prox.z_l - v.z_l) * sc.d_z * c_inv) if m else 0.0,
+            _inf((prox.z_u - v.z_u) * sc.d_z * c_inv) if m else 0.0,
+            _msmax((prox.z_bl - v.z_bl) * sc.d_b * c_inv, d.xl_mask),
+            _msmax((prox.z_bu - v.z_bu) * sc.d_b * c_inv, d.xu_mask),
+        )
+        dpi = _inf((v.x - prox.x) * sc.d_x)
+        out = dict(
+            primal_res_reg=primal_reg,
+            primal_res_reg_rel=primal_reg / primal_rel_sc,
+            dual_res_reg=dual_reg,
+            dual_res_reg_rel=dual_reg / dual_rel_sc,
+            primal_prox_inf=ppi * info.delta,
+            dual_prox_inf=dpi * info.rho,
+        )
+        for k, val in out.items():
+            setattr(info, k, val)
+        return res, out
+
+    res_nr = residuals_nr()
+    prev_primal_res, prev_dual_res = info.primal_res, info.dual_res
+
+    eps = float(np.finfo(np.float64).eps)
+    st = settings
+    status = int(Status.RUNNING)
+
+    while info.iter < st.max_iter:
+        # termination (solver.hpp:606-612)
+        converged = (
+            (info.primal_res < st.eps_abs or info.primal_res_rel < st.eps_rel)
+            and (info.dual_res < st.eps_abs or info.dual_res_rel < st.eps_rel)
+        )
+        if st.check_duality_gap:
+            converged = converged and (
+                info.duality_gap < st.eps_duality_gap_abs
+                or info.duality_gap_rel < st.eps_duality_gap_rel
+            )
+        res, reg = residuals_reg(res_nr)
+        if converged:
+            status = int(Status.SOLVED)
+            break
+        if (
+            info.no_dual_update > min(5, st.reg_finetune_dual_update_threshold)
+            and reg["primal_prox_inf"] > st.infeasibility_threshold
+            and (reg["primal_res_reg"] < st.eps_abs
+                 or reg["primal_res_reg_rel"] < st.eps_rel)
+        ):
+            status = int(Status.PRIMAL_INFEASIBLE)
+            break
+        if (
+            info.no_primal_update > min(5, st.reg_finetune_primal_update_threshold)
+            and reg["dual_prox_inf"] > st.infeasibility_threshold
+            and (reg["dual_res_reg"] < st.eps_abs
+                 or reg["dual_res_reg_rel"] < st.eps_rel)
+        ):
+            status = int(Status.DUAL_INFEASIBLE)
+            break
+
+        info.iter += 1
+
+        # boundary guard (solver.hpp:634-666)
+        if has_cone:
+            any_shift = False
+            for zn, mask in (("z_l", d.hl_mask), ("z_u", d.hu_mask)):
+                z = getattr(v, zn)
+                sh = mask & (z < eps)
+                if sh.any():
+                    setattr(v, zn, np.where(sh, z + eps, z))
+                    any_shift = True
+            for zn, mask in (("z_bl", d.xl_mask), ("z_bu", d.xu_mask)):
+                z = getattr(v, zn)
+                if (mask & (z < eps)).any():
+                    setattr(v, zn, np.where(mask, z + eps, z))
+                    any_shift = True
+            if any_shift:
+                info.mu = calc_mu(v)
+
+        # escalate to statically-regularized factors when refinement
+        # stalled on the last KKT solve (see _KKT.solve_xyz)
+        if kkt.refine_stalled:
+            use_ir = True
+
+        # regularization fine-tuning (solver.hpp:668-681)
+        trig = (
+            info.no_primal_update > st.reg_finetune_primal_update_threshold
+            and info.rho == reg_limit and reg_limit != st.reg_finetune_lower_limit
+        ) or (
+            info.no_dual_update > st.reg_finetune_dual_update_threshold
+            and info.delta == reg_limit and reg_limit != st.reg_finetune_lower_limit
+        )
+        if trig and reg["dual_prox_inf"] < st.infeasibility_threshold and \
+                reg["primal_prox_inf"] < st.infeasibility_threshold:
+            reg_limit = st.reg_finetune_lower_limit
+            info.no_primal_update = 0
+            info.no_dual_update = 0
+
+        if not factor_ladder():
+            status = int(Status.NUMERICS)
+            break
+        res, reg = residuals_reg(res_nr)
+
+        if has_cone:
+            # predictor (solver.hpp:722-737)
+            res.s_l = -v.s_l * v.z_l
+            res.s_u = -v.s_u * v.z_u
+            res.s_bl = -v.s_bl * v.z_bl
+            res.s_bu = -v.s_bu * v.z_bu
+            step, _ = kkt.solve(res)
+
+            def steplens(step):
+                def ratio(val, stp, mask):
+                    neg = mask & (stp < 0)
+                    if not neg.any():
+                        return 1.0
+                    return min(1.0, (-val[neg] / stp[neg]).min())
+
+                a_s = min(
+                    ratio(v.s_l, step.s_l, d.hl_mask), ratio(v.s_u, step.s_u, d.hu_mask),
+                    ratio(v.s_bl, step.s_bl, d.xl_mask), ratio(v.s_bu, step.s_bu, d.xu_mask),
+                )
+                a_z = min(
+                    ratio(v.z_l, step.z_l, d.hl_mask), ratio(v.z_u, step.z_u, d.hu_mask),
+                    ratio(v.z_bl, step.z_bl, d.xl_mask), ratio(v.z_bu, step.z_bu, d.xu_mask),
+                )
+                return a_s, a_z
+
+            a_s, a_z = steplens(step)
+            a_s *= st.tau
+            a_z *= st.tau
+            sig = (
+                (v.s_l + a_s * step.s_l) @ (v.z_l + a_z * step.z_l)
+                + (v.s_u + a_s * step.s_u) @ (v.z_u + a_z * step.z_u)
+                + (v.s_bl + a_s * step.s_bl) @ (v.z_bl + a_z * step.z_bl)
+                + (v.s_bu + a_s * step.s_bu) @ (v.z_bu + a_z * step.z_bu)
+            ) / (info.mu * max(bcount, 1))
+            sig = min(max(sig, 0.0), 1.0) ** 3
+
+            # corrector (solver.hpp:755-769)
+            sm = sig * info.mu
+            res.s_l = res.s_l + np.where(d.hl_mask, -step.s_l * step.z_l + sm, 0.0)
+            res.s_u = res.s_u + np.where(d.hu_mask, -step.s_u * step.z_u + sm, 0.0)
+            res.s_bl = res.s_bl + np.where(d.xl_mask, -step.s_bl * step.z_bl + sm, 0.0)
+            res.s_bu = res.s_bu + np.where(d.xu_mask, -step.s_bu * step.z_bu + sm, 0.0)
+            step, _ = kkt.solve(res)
+            a_s, a_z = steplens(step)
+            primal_step = a_s * st.tau
+            dual_step = a_z * st.tau
+
+            v.x = v.x + primal_step * step.x
+            v.y = v.y + dual_step * step.y
+            for zn in ("z_l", "z_u", "z_bl", "z_bu"):
+                setattr(v, zn, getattr(v, zn) + dual_step * getattr(step, zn))
+            for sn in ("s_l", "s_u", "s_bl", "s_bu"):
+                setattr(v, sn, getattr(v, sn) + primal_step * getattr(step, sn))
+
+            mu_prev = info.mu
+            info.mu = calc_mu(v)
+            mu_rate = max(0.0, (mu_prev - info.mu) / mu_prev) if mu_prev else 0.0
+            info.sigma, info.primal_step, info.dual_step = sig, primal_step, dual_step
+        else:
+            step, _ = kkt.solve(res)
+            v.x = v.x + step.x
+            v.y = v.y + step.y
+            info.primal_step = info.dual_step = 1.0
+            mu_rate = None  # equality-only uses fixed factors below
+
+        prev_primal_res, prev_dual_res = info.primal_res, info.dual_res
+        res_nr = residuals_nr()
+
+        # proximal updates (solver.hpp:794-829 / 831-877)
+        dual_prog = (
+            info.dual_res < 0.95 * prev_dual_res
+            or info.dual_res < st.eps_abs or info.dual_res_rel < st.eps_rel
+            or (has_cone and info.rho == st.reg_finetune_lower_limit
+                and reg["dual_prox_inf"] < st.infeasibility_threshold)
+        )
+        if has_cone:
+            fast = max(reg_limit, (1.0 - mu_rate) * info.rho)
+            slow_ok = info.iter < 5 or reg["dual_prox_inf"] < st.infeasibility_threshold
+            slow = max(reg_limit, (1.0 - 0.666 * mu_rate) * info.rho) if slow_ok else info.rho
+        else:
+            fast = max(reg_limit, 0.1 * info.rho)
+            slow_ok = info.iter < 5 or reg["dual_prox_inf"] < st.infeasibility_threshold
+            slow = max(reg_limit, 0.5 * info.rho) if slow_ok else info.rho
+        if dual_prog:
+            prox.x = v.x.copy()
+            info.rho = fast
+        else:
+            info.rho = slow
+            info.no_primal_update += 1
+
+        primal_prog = (
+            info.primal_res < 0.95 * prev_primal_res
+            or info.primal_res < st.eps_abs or info.primal_res_rel < st.eps_rel
+            or (has_cone and info.delta == st.reg_finetune_lower_limit
+                and reg["primal_prox_inf"] < st.infeasibility_threshold)
+        )
+        if has_cone:
+            dfast = max(reg_limit, (1.0 - mu_rate) * info.delta)
+            dslow_ok = info.iter < 5 or reg["primal_prox_inf"] < st.infeasibility_threshold
+            dslow = max(reg_limit, (1.0 - 0.666 * mu_rate) * info.delta) if dslow_ok else info.delta
+        else:
+            dfast = max(reg_limit, 0.1 * info.delta)
+            dslow_ok = info.iter < 5 or reg["primal_prox_inf"] < st.infeasibility_threshold
+            dslow = max(reg_limit, 0.5 * info.delta) if dslow_ok else info.delta
+        if primal_prog:
+            if has_cone:
+                prox.y, prox.z_l, prox.z_u = v.y.copy(), v.z_l.copy(), v.z_u.copy()
+                prox.z_bl, prox.z_bu = v.z_bl.copy(), v.z_bu.copy()
+            else:
+                prox.y = v.y.copy()
+            info.delta = dfast
+        else:
+            info.delta = dslow
+            info.no_dual_update += 1
+
+        if verbose:
+            print(
+                f"{info.iter:3d}  {info.primal_obj: .5e}  {info.primal_res:.3e}"
+                f"  {info.dual_res:.3e}  {info.mu:.3e}"
+            )
+    else:
+        status = int(Status.MAX_ITER_REACHED)
+
+    info.status = status
+    return _finalize_host(d, sc, v, info)
+
+
+def _finalize_host(d: HostData, sc: HostScaling, v: _Vars, info: HostInfo) -> HostResult:
+    """Unscale + restore (solver.hpp:1205-1259)."""
+    c_inv = 1.0 / sc.c
+    x = v.x * sc.d_x
+    y = v.y * sc.d_y * c_inv
+    z_l = v.z_l * sc.d_z * c_inv
+    z_u = v.z_u * sc.d_z * c_inv
+    s_l = np.where(z_l == 0, PIQP_INF, v.s_l / np.where(sc.d_z == 0, 1, sc.d_z))
+    s_u = np.where(z_u == 0, PIQP_INF, v.s_u / np.where(sc.d_z == 0, 1, sc.d_z))
+    z_bl = np.where(d.xl_mask, v.z_bl * sc.d_b * c_inv, 0.0)
+    z_bu = np.where(d.xu_mask, v.z_bu * sc.d_b * c_inv, 0.0)
+    s_bl = np.where(d.xl_mask, v.s_bl / sc.d_b, PIQP_INF)
+    s_bu = np.where(d.xu_mask, v.s_bu / sc.d_b, PIQP_INF)
+    return HostResult(x, y, z_l, z_u, z_bl, z_bu, s_l, s_u, s_bl, s_bu, info)
+
+
+def solve_sparse_host(
+    P, c, A=None, b=None, G=None, h_l=None, h_u=None, x_l=None, x_u=None,
+    settings: Settings = Settings(), verbose: bool = False,
+) -> HostResult:
+    """One-shot host sparse solve."""
+    return solve_host(
+        prepare_sparse(P, c, A, b, G, h_l, h_u, x_l, x_u), settings, verbose
+    )

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import ops
-from .types import QPData, Settings, Vars, _pytree_dataclass
+from .types import FullKKTQPData, QPData, Settings, Vars, _pytree_dataclass
 
 
 @_pytree_dataclass
@@ -211,6 +211,7 @@ def _(data: QPData, ks: KKTState, v):
     return lx.astype(v.dtype)
 
 
+@singledispatch
 def _backend_solve(data, ks: KKTState, rx, ry, rz):
     """Condensed backend solve (dense/kkt.hpp:86-105); structure-agnostic
     given the dispatched matvecs and K-solve."""
@@ -227,6 +228,63 @@ def _backend_solve(data, ks: KKTState, rx, ry, rz):
         (ops.G_x(data, lx) - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
     )
     return lx, ly, lz
+
+
+# ---------------------------------------------------------------------------
+# full 3-block dense KKT backend (KKTBackend.dense_lu)
+# ---------------------------------------------------------------------------
+
+@empty_factor.register
+def _(data: FullKKTQPData):
+    N = data.n + data.p + data.m
+    return (
+        jnp.zeros((N, N), data.P.dtype),
+        jnp.zeros((N,), jnp.int32),
+    )
+
+
+@factor.register
+def _factor_full_lu(data: FullKKTQPData, ks: KKTState, mixed: bool = False):
+    """Pivoted LU of the full (n+p+m) regularized 3-block KKT matrix
+
+        [ P + diag(x_reg)   A'                G'               ]
+        [ A                 -delta_reg I                       ]
+        [ G                                   -diag(z_reg_fac) ]
+
+    — the dense-device analog of the reference's KKT_FULL sparse mode
+    (sparse/kkt_full.hpp:22-252).  The full form keeps the condition
+    number at kappa(KKT) instead of the condensed form's kappa^2, which is
+    what ill-conditioned SQP subproblems (robot_arm fixtures) need to
+    factor reliably in f64.
+    """
+    n, p, m = data.n, data.p, data.m
+    dt = jnp.float32 if mixed else data.P.dtype
+    P = data.P.astype(dt)
+    A = data.A.astype(dt)
+    G = data.G.astype(dt)
+    top = jnp.concatenate([P + jnp.diag(ks.x_reg.astype(dt)), A.T, G.T], axis=1)
+    mid = jnp.concatenate(
+        [A, -ks.delta_reg.astype(dt) * jnp.eye(p, dtype=dt),
+         jnp.zeros((p, m), dt)], axis=1,
+    )
+    bot = jnp.concatenate(
+        [G, jnp.zeros((m, p), dt), -jnp.diag(ks.z_reg_fact.astype(dt))], axis=1
+    )
+    K = jnp.concatenate([top, mid, bot], axis=0)
+    lu, piv, _ = lax.linalg.lu(K)
+    ok = jnp.all(jnp.isfinite(lu))
+    return ks.replace(L=(lu, piv)), ok
+
+
+@_backend_solve.register
+def _(data: FullKKTQPData, ks: KKTState, rx, ry, rz):
+    import jax.scipy.linalg as jsl
+
+    lu, piv = ks.L
+    rhs = jnp.concatenate([rx, ry, rz]).astype(lu.dtype)
+    sol = jsl.lu_solve((lu, piv), rhs).astype(rx.dtype)
+    n, p = data.n, data.p
+    return sol[:n], sol[n:n + p], sol[n + p:]
 
 
 def mul_condensed(data, ks: KKTState, lx, ly, lz):
@@ -300,8 +358,18 @@ def _refine_error(data, ks, lx, ly, lz, rx, ry, rz):
 
 
 def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx, ry, rz):
-    """Backend solve + optional iterative refinement
-    (kkt_system.hpp:254-308)."""
+    """Backend solve + iterative refinement (kkt_system.hpp:254-308).
+
+    Refinement is ALWAYS on (unlike the reference, which gates it together
+    with static regularization): the condensed n-by-n system squares the
+    KKT condition number, and on ill-conditioned SQP instances (e.g. the
+    robot_arm fixtures) the unrefined primal residual floors at ~1e-3.
+    Refining against the *unregularized* target recovers the accuracy while
+    leaving well-conditioned trajectories untouched; the cost when already
+    accurate is one extra condensed matvec per solve.  ``ks.use_ir``
+    continues to gate only the static regularization of the factored system
+    (the recovery-ladder escalation).
+    """
     lx, ly, lz = _backend_solve(data, ks, rx, ry, rz)
 
     def with_refinement(args):
@@ -352,15 +420,7 @@ def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx,
         _, lx, ly, lz, _, _, _, _, _, ok = c
         return lx, ly, lz, ok
 
-    def without_refinement(args):
-        lx, ly, lz = args
-        ok = jnp.logical_and(
-            jnp.all(jnp.isfinite(lx)),
-            jnp.logical_and(jnp.all(jnp.isfinite(ly)), jnp.all(jnp.isfinite(lz))),
-        )
-        return lx, ly, lz, ok
-
-    return lax.cond(ks.use_ir, with_refinement, without_refinement, (lx, ly, lz))
+    return with_refinement((lx, ly, lz))
 
 
 def solve(

@@ -60,15 +60,23 @@ class SparseSolver(DenseSolver):
     Accepts scipy.sparse matrices (any format) or dense arrays for P, A, G.
     """
 
+    #: problems larger than this are routed to the host sparse backend when
+    #: the backend is left at the default (densifying a 10^4-dim sparse
+    #: problem onto the MXU wastes both memory and FLOPs; the crossover
+    #: measured on v5e is in the mid-hundreds).
+    DENSE_ROUTING_MAX_N = 512
+
     def __init__(self, settings: Settings = Settings(), multistage_fallback: bool = True):
         super().__init__(settings)
         self._multistage_fallback = multistage_fallback
         self._stage_data = None
         self._layout = None
         self._stage_raw = None
+        self._host_raw = None
 
     def setup(self, P, c, A=None, b=None, G=None, h_l=None, h_u=None,
               x_l=None, x_u=None) -> None:
+        self._host_raw = None
         if self.settings.kkt_solver == KKTBackend.multistage:
             from . import multistage as ms
 
@@ -87,12 +95,29 @@ class SparseSolver(DenseSolver):
                     raise
                 self._stage_data = None
                 self._layout = None
+        n = P.shape[0] if hasattr(P, "shape") else np.asarray(P).shape[0]
+        if self.settings.kkt_solver == KKTBackend.sparse_host or (
+            self.settings.kkt_solver == KKTBackend.dense_cholesky
+            and n > self.DENSE_ROUTING_MAX_N
+        ):
+            self._host_raw = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l,
+                                  h_u=h_u, x_l=x_l, x_u=x_u)
+            self._result = None
+            self._first_run = True
+            return
         super().setup(
             _to_dense(P), c, _to_dense(A), b, _to_dense(G), h_l, h_u, x_l, x_u
         )
 
     def update(self, P=None, c=None, A=None, b=None, G=None, h_l=None,
                h_u=None, x_l=None, x_u=None) -> None:
+        if self._host_raw is not None:
+            updates = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l, h_u=h_u,
+                           x_l=x_l, x_u=x_u)
+            for k, v in updates.items():
+                if v is not None:
+                    self._host_raw[k] = v
+            return
         if self._stage_data is not None:
             from . import multistage as ms
 
@@ -110,6 +135,19 @@ class SparseSolver(DenseSolver):
         )
 
     def solve(self) -> Status:
+        if self._host_raw is not None:
+            if not self.settings.verify():
+                return Status.INVALID_SETTINGS
+            from .hostsparse import solve_sparse_host
+
+            res = solve_sparse_host(
+                **self._host_raw,
+                settings=self.settings,
+                verbose=self.settings.verbose,
+            )
+            self._result = res
+            self._first_run = False
+            return Status(int(res.info.status))
         if self._stage_data is None:
             return super().solve()
         if not self.settings.verify():

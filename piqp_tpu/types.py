@@ -74,12 +74,22 @@ class KKTBackend(enum.Enum):
 
     The TPU build condenses everything onto dense/structured device math:
       - ``dense_cholesky``: fully condensed n-by-n system + Cholesky (MXU).
+      - ``dense_lu``: full 3-block (n+p+m) dense KKT + pivoted LU (MXU).
+        The condensed form squares the KKT condition number; on
+        ill-conditioned problems (tight SQP subproblems) the full form
+        keeps factorizations healthy at the cost of a bigger matrix —
+        the device analog of the reference's KKT_FULL sparse mode.
       - ``multistage``: block-tridiagonal + arrow Cholesky over stages.
+      - ``sparse_host``: full 3-block sparse KKT factored host-side
+        (hostsparse.py) — the routing target for large general sparse
+        problems with no block structure (SURVEY.md §7 routing rule).
     Sparse problems are routed through one of these after host-side analysis.
     """
 
     dense_cholesky = "dense_cholesky"
+    dense_lu = "dense_lu"
     multistage = "multistage"
+    sparse_host = "sparse_host"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -232,6 +242,21 @@ class QPData:
     @property
     def m(self) -> int:
         return self.G.shape[-2]
+
+
+@dataclasses.dataclass
+class FullKKTQPData(QPData):
+    """QPData marker subclass routing the KKT layer to the full 3-block
+    dense LU backend (``KKTBackend.dense_lu``).  Identical fields; the
+    representation type IS the backend selector (singledispatch)."""
+
+
+jax.tree_util.register_dataclass(
+    FullKKTQPData,
+    data_fields=[f.name for f in dataclasses.fields(QPData)],
+    meta_fields=[],
+)
+FullKKTQPData.replace = dataclasses.replace
 
 
 @_pytree_dataclass
