@@ -1,0 +1,108 @@
+"""SQP update+solve benchmark — the analog of the reference's
+sqp_benchmarks (/root/reference/benchmarks/src/sqp_benchmarks.cpp:16-120):
+repeated update() + solve() on the chain-mass and robot-arm SQP fixtures,
+per backend.
+
+Prints one JSON line per (fixture, backend) with median wall times for the
+update and the re-solve.  The reference measures sparse_ldlt vs
+sparse_ldlt_cond vs sparse_multistage on a CPU; here the backends are the
+TPU multistage backend (values re-scattered host-side, compiled solve
+reused — zero retracing) and the host sparse LU backend.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+import piqp_tpu
+from piqp_tpu import Settings, Status, solve_prepared
+from piqp_tpu import multistage as ms
+from piqp_tpu.hostsparse import solve_sparse_host
+from piqp_tpu.utils.io import load_mat
+
+DATA = "/root/reference/tests/data"
+FIXTURES = ["chain_mass_sqp", "scenario_mpc"]
+REPS = 5
+
+
+def _perturb(prob, rng, scale=1e-3):
+    """SQP-style value update: perturb the linear terms, keep the pattern."""
+    out = dict(prob)
+    out["c"] = prob["c"] + scale * rng.standard_normal(prob["c"].shape)
+    if prob.get("b") is not None:
+        out["b"] = prob["b"] + scale * rng.standard_normal(prob["b"].shape)
+    return out
+
+
+def bench_multistage(name):
+    prob = load_mat(os.path.join(DATA, name + ".mat"), sparse=True)
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    sdata, layout = ms.from_sparse(**prob)
+    res = solve_prepared(sdata)
+    jax.block_until_ready(res.x)
+    setup_time = time.perf_counter() - t0
+    assert int(res.info.status) == Status.SOLVED, int(res.info.status)
+
+    upd_ts, solve_ts = [], []
+    for _ in range(REPS):
+        new = _perturb(prob, rng)
+        t0 = time.perf_counter()
+        sdata, layout = ms.from_sparse(**new)
+        upd_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        res = solve_prepared(sdata)
+        jax.block_until_ready(res.x)
+        solve_ts.append(time.perf_counter() - t0)
+        assert int(res.info.status) == Status.SOLVED
+
+    return dict(
+        fixture=name,
+        backend="multistage_device",
+        setup_s=round(setup_time, 3),
+        update_ms=round(float(np.median(upd_ts)) * 1e3, 2),
+        solve_ms=round(float(np.median(solve_ts)) * 1e3, 2),
+        iters=int(res.info.iter),
+        device=str(jax.devices()[0]),
+    )
+
+
+def bench_host(name):
+    prob = load_mat(os.path.join(DATA, name + ".mat"), sparse=True)
+    rng = np.random.default_rng(0)
+    res = solve_sparse_host(**prob)
+    assert res.info.status == int(Status.SOLVED)
+    solve_ts = []
+    for _ in range(REPS):
+        new = _perturb(prob, rng)
+        t0 = time.perf_counter()
+        res = solve_sparse_host(**new)
+        solve_ts.append(time.perf_counter() - t0)
+    return dict(
+        fixture=name,
+        backend="sparse_host",
+        update_ms=0.0,  # host path re-prepares inside solve
+        solve_ms=round(float(np.median(solve_ts)) * 1e3, 2),
+        iters=res.info.iter,
+    )
+
+
+def main():
+    for name in FIXTURES:
+        for fn in (bench_multistage, bench_host):
+            try:
+                print(json.dumps(fn(name)), flush=True)
+            except Exception as e:  # pragma: no cover
+                print(json.dumps(dict(fixture=name, error=str(e)[:200])), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -988,11 +988,36 @@ def from_sparse(
         G1=G1, G2=G2, Gg=Gg, h_l=hl_f, h_u=hu_f,
         x_l=xl_f, x_u=xu_f, dtype=dtype,
     )
+
+    # Pad the horizon to a chunkable length: the factorization's two-level
+    # scheme needs a divisor C ~ sqrt(T), and prime horizons (chain_mass has
+    # T=41) would otherwise fall back to the latency-bound sequential scan.
+    # Padded stages are decoupled identity sub-problems (see
+    # parallel.pad_stages); arrow coordinates shift by (T_pad - T) * D.
+    T_pad = _next_chunkable(T)
+    if T_pad != T:
+        from .parallel.horizon import pad_stages
+
+        sdata = pad_stages(sdata, T_pad)
+        shift = (T_pad - T) * D
+        var_map = np.where(var_map >= T * D, var_map + shift, var_map)
+
     layout = StageLayout(
         var_map=var_map, a_row_map=a_row_map, g_row_map=g_row_map,
         n=n, p=p, m=m,
     )
     return sdata, layout
+
+
+def _next_chunkable(T: int) -> int:
+    """Smallest T' >= T whose chunk split exists (or T if already fine /
+    too small to benefit)."""
+    if T < _CHUNK_MIN_T:
+        return T
+    Tp = T
+    while _chunk_count(Tp) is None:
+        Tp += 1
+    return Tp
 
 
 def random_multistage_qp(
