@@ -91,6 +91,35 @@ class KKTBackend(enum.Enum):
     multistage = "multistage"
     sparse_host = "sparse_host"
 
+    @classmethod
+    def from_piqp(cls, name: str) -> "KKTBackend":
+        """Map a reference KKTSolver name (settings.hpp:18-26) onto the
+        equivalent TPU backend, so ported PIQP configurations keep working:
+
+        - dense_cholesky -> dense_cholesky
+        - sparse_ldlt (KKT_FULL) -> sparse_host (full 3-block KKT)
+        - sparse_ldlt_eq_cond / sparse_ldlt_ineq_cond / sparse_ldlt_cond
+          -> dense_cholesky (every elimination level condenses onto the
+          same n-by-n device system here; partial eliminations exist in
+          the reference only to trade sparsity patterns, which the dense
+          MXU path does not have)
+        - sparse_multistage -> multistage
+        """
+        aliases = {
+            "dense_cholesky": cls.dense_cholesky,
+            "sparse_ldlt": cls.sparse_host,
+            "sparse_ldlt_eq_cond": cls.dense_cholesky,
+            "sparse_ldlt_ineq_cond": cls.dense_cholesky,
+            "sparse_ldlt_cond": cls.dense_cholesky,
+            "sparse_multistage": cls.multistage,
+        }
+        try:
+            return cls(name)
+        except ValueError:
+            if name in aliases:
+                return aliases[name]
+            raise
+
 
 @dataclasses.dataclass(frozen=True)
 class Settings:

@@ -33,6 +33,22 @@ def test_small_fixtures_fall_back():
             ms.from_sparse(**_load(name, sparse=True))
 
 
+def test_small_sparse_dual_inf_detected():
+    """The dual-infeasibility fixture must be certified as such (the same
+    check the reference runs through its solver tests)."""
+    prob = _load("small_sparse_dual_inf")
+    res = solve_dense(**prob)
+    assert int(res.info.status) == Status.DUAL_INFEASIBLE
+
+
+def test_scenario_mpc_small_solves():
+    prob = _load("scenario_mpc_small")
+    res = solve_dense(**prob)
+    assert int(res.info.status) == Status.SOLVED
+    rh = solve_sparse_host(**_load("scenario_mpc_small", sparse=True))
+    np.testing.assert_allclose(np.asarray(res.x), rh.x, rtol=1e-6, atol=1e-7)
+
+
 def test_small_dense_fixture_multistage_vs_host():
     prob = _load("small_dense", sparse=True)
     sdata, layout = ms.from_sparse(**prob)
