@@ -1,0 +1,49 @@
+"""Batched scenario solving: a fleet of perturbed QPs solved in one
+vmapped dispatch, optionally sharded over all available devices
+(the scenario-MPC / portfolio-sweep usage pattern).
+
+Run: python examples/batch_example.py
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from piqp_tpu import Settings
+from piqp_tpu.batch import prepare_batch, solve_batch
+from piqp_tpu.utils.random import dense_strongly_convex_qp
+
+
+def main():
+    B = 64
+    base = dense_strongly_convex_qp(32, 8, 16, seed=0)
+    rng = np.random.default_rng(1)
+    scenarios = []
+    for _ in range(B):
+        s = dict(base)
+        s["c"] = base["c"] + 0.1 * rng.standard_normal(base["c"].shape)
+        scenarios.append(s)
+
+    data = prepare_batch(scenarios)
+
+    # optional: shard the batch over every device (no-op on one device)
+    devs = jax.devices()
+    sharding = None
+    if len(devs) > 1 and B % len(devs) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(devs), ("dp",))
+        sharding = NamedSharding(mesh, P("dp"))
+
+    res = solve_batch(data, Settings(), sharding=sharding)
+    status = np.asarray(res.info.status)
+    iters = np.asarray(res.info.iter)
+    objs = np.asarray(res.info.primal_obj)
+    print(f"{int((status == 1).sum())}/{B} solved on {len(devs)} device(s); "
+          f"iters: mean {iters.mean():.1f} max {iters.max()}")
+    print(f"objective spread: [{objs.min():.4f}, {objs.max():.4f}]")
+
+
+if __name__ == "__main__":
+    main()
