@@ -60,3 +60,24 @@ def test_batch_sharded(problems):
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(res2.x), rtol=1e-6, atol=1e-7
     )
+
+
+def test_batched_multistage_scenarios():
+    """A fleet of perturbed MPC scenarios over one stage structure solves
+    as a single vmapped dispatch (BASELINE.md config 5's shape): the batch
+    machinery is representation-agnostic, so the structured backend
+    composes with vmap exactly like the dense one."""
+    import numpy as np
+    from piqp_tpu import multistage as ms
+    from piqp_tpu.batch import solve_batch
+
+    base = ms.random_multistage_qp(T=16, D=4, Da=2, ra=2, rg=2, seed=0)
+    rng = np.random.default_rng(1)
+    B = 4
+    datas = [
+        base.replace(c=base.c + 0.01 * jnp.asarray(rng.standard_normal(base.n)))
+        for _ in range(B)
+    ]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    res = solve_batch(batch)
+    assert np.all(np.asarray(res.info.status) == 1)
