@@ -26,6 +26,7 @@ Doubles as the reference oracle for the device solver in tests.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import scipy.sparse as sp
@@ -415,6 +416,179 @@ def settings_reg(settings: Settings) -> float:
     return settings.iterative_refinement_static_regularization_eps
 
 
+# Certificate-validation tolerances, calibrated on the Netlib infeasible
+# corpus (see docs/corpus.md): genuinely infeasible instances certify with
+# eq_rel <= 2.6e-6, neg <= 0.30, sup_rel <= -0.026, while the false
+# pilotnov certificate shows neg = 1.0, sup_rel = -3.9e-4.
+_CERT_EQ_TOL = 1e-4
+_CERT_NEG_TOL = 0.5
+_CERT_SUP_TOL = 1e-2
+
+
+def _primal_ray_quality(d0: HostData, dy, dz_l, dz_u, dz_bl, dz_bu):
+    """Score an (unscaled) candidate ray as a Farkas certificate of primal
+    infeasibility:
+
+        A'dy + G'(dz_u - dz_l) + (dz_bu - dz_bl) ~ 0,   dz >= 0,
+        b'dy + h_u'dz_u - h_l'dz_l + x_u'dz_bu - x_l'dz_bl < 0
+
+    Returns (eq_rel, neg, sup_rel): relative stationarity-ray residual,
+    worst sign violation, and normalized support value (valid certificates
+    have eq_rel ~ 0, neg ~ 0, sup_rel < 0)."""
+    norm = max(_inf(dy), _inf(dz_l), _inf(dz_u), _inf(dz_bl), _inf(dz_bu))
+    if not np.isfinite(norm) or norm <= 0.0:
+        return np.inf, np.inf, np.inf
+    dy, dz_l, dz_u = dy / norm, dz_l / norm, dz_u / norm
+    dz_bl, dz_bu = dz_bl / norm, dz_bu / norm
+
+    neg = -min(dz_l.min(initial=0.0), dz_u.min(initial=0.0),
+               dz_bl.min(initial=0.0), dz_bu.min(initial=0.0))
+    t = dz_bu - dz_bl
+    den = np.abs(t)
+    if d0.p:
+        t = t + d0.A.T @ dy
+        den = den + np.abs(d0.A).T @ np.abs(dy)
+    if d0.m:
+        t = t + d0.G.T @ (dz_u - dz_l)
+        den = den + np.abs(d0.G).T @ (np.abs(dz_u) + np.abs(dz_l))
+    eq_rel = _inf(t) / max(den.max(initial=0.0), 1e-30)
+
+    sup = (d0.x_u @ dz_bu - d0.x_l @ dz_bl)
+    sup_den = np.abs(d0.x_u) @ np.abs(dz_bu) + np.abs(d0.x_l) @ np.abs(dz_bl)
+    if d0.p:
+        sup += d0.b @ dy
+        sup_den += np.abs(d0.b) @ np.abs(dy)
+    if d0.m:
+        sup += d0.h_u @ dz_u - d0.h_l @ dz_l
+        sup_den += np.abs(d0.h_u) @ np.abs(dz_u) + np.abs(d0.h_l) @ np.abs(dz_l)
+    sup_rel = sup / max(sup_den, 1e-30)
+    return eq_rel, neg, sup_rel
+
+
+def _drift_primal_ray(d0: HostData, sc: HostScaling, v: "_Vars", prox: "_Vars"):
+    """The (unscaled) proximal dual drift.  At a stationary point of the
+    delta-regularized problem ``delta*(y - prox.y) = Ax - b`` (and
+    analogously for z), i.e. the drift direction is exactly the ray along
+    which the dual objective is unbounded when the primal is infeasible.
+    The reference certifies from stall counters alone (solver.hpp:616-622);
+    we additionally validate this ray before certifying."""
+    dy = (v.y - prox.y) * sc.d_y
+    dz_l = np.where(d0.hl_mask, (v.z_l - prox.z_l) * sc.d_z, 0.0)
+    dz_u = np.where(d0.hu_mask, (v.z_u - prox.z_u) * sc.d_z, 0.0)
+    dz_bl = np.where(d0.xl_mask, (v.z_bl - prox.z_bl) * sc.d_b, 0.0)
+    dz_bu = np.where(d0.xu_mask, (v.z_bu - prox.z_bu) * sc.d_b, 0.0)
+    return dy, dz_l, dz_u, dz_bl, dz_bu
+
+
+def _farkas_primal_quality(d0: HostData, sc: HostScaling, v: "_Vars", prox: "_Vars"):
+    return _primal_ray_quality(d0, *_drift_primal_ray(d0, sc, v, prox))
+
+
+def _violation_primal_ray(d0: HostData, x):
+    """Candidate Farkas ray built from the constraint violations of an
+    (unscaled) iterate x.  At the proximal equilibrium of an infeasible
+    problem, x minimizes a weighted distance to feasibility, so the
+    violation residuals are stationary: A'(Ax-b) + G'((Gx-h_u)+ - (h_l-Gx)+)
+    + box terms ~ 0 — exactly the Farkas stationarity equation with
+    dy = Ax-b, dz = the one-sided violations."""
+    dy = d0.A @ x - d0.b if d0.p else np.zeros(0)
+    if d0.m:
+        gx = d0.G @ x
+        dz_u = np.where(d0.hu_mask, np.maximum(gx - d0.h_u, 0.0), 0.0)
+        dz_l = np.where(d0.hl_mask, np.maximum(d0.h_l - gx, 0.0), 0.0)
+    else:
+        dz_u = dz_l = np.zeros(0)
+    dz_bu = np.where(d0.xu_mask, np.maximum(x - d0.x_u, 0.0), 0.0)
+    dz_bl = np.where(d0.xl_mask, np.maximum(d0.x_l - x, 0.0), 0.0)
+    return dy, dz_l, dz_u, dz_bl, dz_bu
+
+
+def _phase1_certificate(d0: HostData, settings: Settings):
+    """Solve the phase-1 feasibility QP
+
+        min 1/2 (|r|^2 + |w|^2)
+        s.t. Ax - r = b,  h_l <= Gx - w <= h_u,  x_l <= x <= x_u
+
+    whose stationarity condition in x is exactly the Farkas system, so when
+    the minimal violation is positive the optimal multipliers
+    (y, z_l, z_u, z_bl, z_bu) are a certificate of primal infeasibility.
+    Returns the candidate ray or None."""
+    n, p, m = d0.n, d0.p, d0.m
+    if p + m == 0:
+        return None, 0.0
+    N = n + p + m
+    P = sp.diags(np.concatenate([np.zeros(n), np.ones(p + m)])).tocsc()
+    c = np.zeros(N)
+    A = sp.hstack(
+        [d0.A, -sp.eye(p), sp.csc_matrix((p, m))], format="csc"
+    ) if p else None
+    G = sp.hstack(
+        [d0.G, sp.csc_matrix((m, p)), -sp.eye(m)], format="csc"
+    ) if m else None
+    x_l = np.concatenate(
+        [np.where(d0.xl_mask, d0.x_l, -np.inf), np.full(p + m, -np.inf)]
+    )
+    x_u = np.concatenate(
+        [np.where(d0.xu_mask, d0.x_u, np.inf), np.full(p + m, np.inf)]
+    )
+    h_l = np.where(d0.hl_mask, d0.h_l, -np.inf) if m else None
+    h_u = np.where(d0.hu_mask, d0.h_u, np.inf) if m else None
+    res = solve_host(
+        prepare_sparse(P, c, A, d0.b if p else None, G, h_l, h_u, x_l, x_u),
+        dataclasses.replace(settings, verify_certificates=False),
+    )
+    if res.info.status != int(Status.SOLVED):
+        return None, 0.0
+    # minimal violation = |(r, w)|_inf at the optimum, relative to the
+    # right-hand-side magnitudes (sup_rel is ~ -violation^2/|data| here,
+    # too scale-sensitive to threshold directly)
+    viol = _inf(res.x[n:])
+    scale = max(
+        _inf(d0.b) if p else 0.0,
+        _msmax(np.abs(d0.h_l), d0.hl_mask), _msmax(np.abs(d0.h_u), d0.hu_mask),
+        _msmax(np.abs(d0.x_l), d0.xl_mask), _msmax(np.abs(d0.x_u), d0.xu_mask),
+    )
+    viol_rel = viol / max(1.0, scale)
+    return (res.y, res.z_l, res.z_u, res.z_bl[:n], res.z_bu[:n]), viol_rel
+
+
+def _farkas_dual_quality(d0: HostData, sc: HostScaling, v: "_Vars", prox: "_Vars"):
+    """Score the (unscaled) primal drift dx = x - prox.x as a certificate of
+    dual infeasibility (an unbounded descent ray):
+
+        P dx ~ 0,  A dx ~ 0,  (G dx)_i <= 0 on finite-h_u rows / >= 0 on
+        finite-h_l rows (same for boxes),  c'dx < 0.
+
+    Returns (eq_rel, cone, obj_rel): relative P/A-ray residual, worst cone
+    violation, normalized objective slope (valid: ~0, ~0, < 0)."""
+    dx = (v.x - prox.x) * sc.d_x
+    norm = _inf(dx)
+    if not np.isfinite(norm) or norm <= 0.0:
+        return np.inf, np.inf, np.inf
+    dx = dx / norm
+
+    adx = np.abs(dx)
+    t = np.abs(d0.P @ dx)
+    den = np.abs(d0.P) @ adx
+    if d0.p:
+        t = np.concatenate([t, np.abs(d0.A @ dx)])
+        den = np.concatenate([den, np.abs(d0.A) @ adx])
+    eq_rel = t.max(initial=0.0) / max(den.max(initial=0.0), 1e-30)
+
+    cone = 0.0
+    if d0.m:
+        gdx = d0.G @ dx
+        gden = np.maximum(np.abs(d0.G) @ adx, 1e-30)
+        cone = max(
+            _msmax(gdx / gden, d0.hu_mask),
+            _msmax(-gdx / gden, d0.hl_mask),
+        )
+    cone = max(cone, _msmax(dx, d0.xu_mask), _msmax(-dx, d0.xl_mask))
+
+    obj_rel = (d0.c @ dx) / max(np.abs(d0.c) @ adx, 1e-30)
+    return eq_rel, cone, obj_rel
+
+
 @dataclasses.dataclass
 class _Vars:
     x: np.ndarray
@@ -676,25 +850,65 @@ def solve_host(
                 or info.duality_gap_rel < st.eps_duality_gap_rel
             )
         res, reg = residuals_reg(res_nr)
+        if os.environ.get("PIQP_TPU_CERT_TRACE", "0") == "1":
+            pq = _farkas_primal_quality(data, sc, v, prox)
+            dq = _farkas_dual_quality(data, sc, v, prox)
+            print(
+                f"CERT {info.iter:3d} pres={info.primal_res:.2e} "
+                f"preg_rel={reg['primal_res_reg_rel']:.2e} ppi={reg['primal_prox_inf']:.2e} "
+                f"dpi={reg['dual_prox_inf']:.2e} ndu={info.no_dual_update} "
+                f"npu={info.no_primal_update} delta={info.delta:.1e} "
+                f"P[eq={pq[0]:.2e} neg={pq[1]:.2e} sup={pq[2]:+.2e}] "
+                f"D[eq={dq[0]:.2e} cone={dq[1]:.2e} obj={dq[2]:+.2e}]"
+            )
         if converged:
             status = int(Status.SOLVED)
             break
+        def _reject_certificate(primal: bool):
+            # a failed certificate means the stall counters tripped on a
+            # numerically-degenerate (not infeasible) trajectory: relax the
+            # regularization floor and restart the counters (like the
+            # local-minimum escape, solver.hpp:668-681), and tighten the
+            # corresponding proximal penalty — the rejected drift says the
+            # proximal subproblem converged without the unregularized one,
+            # so the outer proximal-method-of-multipliers update applies
+            nonlocal reg_limit
+            reg_limit = st.reg_finetune_lower_limit
+            info.no_primal_update = 0
+            info.no_dual_update = 0
+            if primal:
+                info.delta = max(reg_limit, 0.1 * info.delta)
+            else:
+                info.rho = max(reg_limit, 0.1 * info.rho)
+
         if (
             info.no_dual_update > min(5, st.reg_finetune_dual_update_threshold)
             and reg["primal_prox_inf"] > st.infeasibility_threshold
             and (reg["primal_res_reg"] < st.eps_abs
                  or reg["primal_res_reg_rel"] < st.eps_rel)
         ):
-            status = int(Status.PRIMAL_INFEASIBLE)
-            break
+            eq, negq, sup = _farkas_primal_quality(data, sc, v, prox)
+            if (not st.verify_certificates) or (
+                eq <= _CERT_EQ_TOL and negq <= _CERT_NEG_TOL
+                and sup <= -_CERT_SUP_TOL
+            ):
+                status = int(Status.PRIMAL_INFEASIBLE)
+                break
+            _reject_certificate(primal=True)
         if (
             info.no_primal_update > min(5, st.reg_finetune_primal_update_threshold)
             and reg["dual_prox_inf"] > st.infeasibility_threshold
             and (reg["dual_res_reg"] < st.eps_abs
                  or reg["dual_res_reg_rel"] < st.eps_rel)
         ):
-            status = int(Status.DUAL_INFEASIBLE)
-            break
+            eq, cone, obj = _farkas_dual_quality(data, sc, v, prox)
+            if (not st.verify_certificates) or (
+                eq <= _CERT_EQ_TOL and cone <= _CERT_NEG_TOL
+                and obj <= -_CERT_SUP_TOL
+            ):
+                status = int(Status.DUAL_INFEASIBLE)
+                break
+            _reject_certificate(primal=False)
 
         info.iter += 1
 
@@ -863,7 +1077,52 @@ def solve_host(
         status = int(Status.MAX_ITER_REACHED)
 
     info.status = status
-    return _finalize_host(d, sc, v, info)
+    result = _finalize_host(d, sc, v, info)
+
+    # Post-hoc certificate search (no reference analog): an infeasible
+    # problem can reach max_iter at a frozen proximal equilibrium where the
+    # stall counters never trip — e.g. once the regularization floor makes
+    # primal_prox_inf collapse.  Try, in order: the proximal drift, the
+    # violation residuals of the final iterate, and the phase-1 feasibility
+    # QP.  Only a ray that *validates* as a Farkas certificate changes the
+    # status; the certificate is returned in (y, z_l, z_u, z_bl, z_bu).
+    if status == int(Status.MAX_ITER_REACHED) and settings.verify_certificates:
+        def _try(ray, check_sup=True):
+            if ray is None:
+                return False
+            eq, negq, sup = _primal_ray_quality(data, *ray)
+            ok = eq <= _CERT_EQ_TOL and negq <= _CERT_NEG_TOL
+            if check_sup:
+                ok = ok and sup <= -_CERT_SUP_TOL
+            if ok:
+                nrm = max(_inf(r) for r in ray)
+                result.y, result.z_l, result.z_u, result.z_bl, result.z_bu = (
+                    r / nrm for r in ray
+                )
+                result.info.status = int(Status.PRIMAL_INFEASIBLE)
+                return True
+            return False
+
+        eqd, coned, objd = _farkas_dual_quality(data, sc, v, prox)
+        if _try(_drift_primal_ray(data, sc, v, prox)):
+            pass
+        elif (eqd <= _CERT_EQ_TOL and coned <= _CERT_NEG_TOL
+              and objd <= -_CERT_SUP_TOL):
+            result.info.status = int(Status.DUAL_INFEASIBLE)
+        elif _try(_violation_primal_ray(data, result.x)):
+            pass
+        else:
+            # phase-1: the minimal-violation magnitude replaces the sup
+            # check (sup ~ -violation^2/|rhs| is too scale-sensitive when
+            # the infeasibility margin is small relative to the data)
+            # gate: 1e2*eps_abs sits ~100x above phase-1 solver noise on
+            # feasible problems while the genuinely-infeasible corpus
+            # instances show viol_rel >= 7.9e-6
+            ray, viol_rel = _phase1_certificate(data, settings)
+            if viol_rel > 1e2 * settings.eps_abs:
+                _try(ray, check_sup=False)
+
+    return result
 
 
 def _finalize_host(d: HostData, sc: HostScaling, v: _Vars, info: HostInfo) -> HostResult:

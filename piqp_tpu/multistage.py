@@ -210,6 +210,16 @@ def _(data: StageQPData, z):
     return _join_x(us, ug)
 
 
+@mv.abs_data.register
+def _(data: StageQPData):
+    return data.replace(
+        Pd=jnp.abs(data.Pd), Psub=jnp.abs(data.Psub), Pa=jnp.abs(data.Pa),
+        Pc=jnp.abs(data.Pc), A1=jnp.abs(data.A1), A2=jnp.abs(data.A2),
+        Ag=jnp.abs(data.Ag), G1=jnp.abs(data.G1), G2=jnp.abs(data.G2),
+        Gg=jnp.abs(data.Gg),
+    )
+
+
 # ---------------------------------------------------------------------------
 # block factorization (factor_kkt + block_syrk assembly,
 # multistage_kkt.hpp:820-1352)

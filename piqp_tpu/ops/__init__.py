@@ -1,1 +1,1 @@
-from .matvec import A_x, AT_y, G_x, GT_z, P_diag, P_x  # noqa: F401
+from .matvec import A_x, AT_y, G_x, GT_z, P_diag, P_x, abs_data  # noqa: F401

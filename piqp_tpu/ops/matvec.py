@@ -53,6 +53,16 @@ def GT_z(data, z):
     raise NotImplementedError(type(data))
 
 
+@singledispatch
+def abs_data(data):
+    """Same data object with the matrix blocks replaced by their absolute
+    values.  Running the eval_* matvecs on it with |v| gives the
+    cancellation denominators for Farkas-certificate validation
+    (solver._certificate_qualities).  XLA hoists the abs() of the constant
+    problem data out of the IPM while_loop."""
+    raise NotImplementedError(type(data))
+
+
 # --- dense implementations -------------------------------------------------
 
 @P_x.register
@@ -83,3 +93,10 @@ def _(data: QPData, x):
 @GT_z.register
 def _(data: QPData, z):
     return data.G.T @ z
+
+
+@abs_data.register
+def _(data: QPData):
+    return data.replace(
+        P=jnp.abs(data.P), A=jnp.abs(data.A), G=jnp.abs(data.G)
+    )

@@ -233,6 +233,211 @@ def residuals_r(
 
 
 # ---------------------------------------------------------------------------
+# Farkas certificate validation (no reference analog; mirrors
+# hostsparse._primal_ray_quality / _farkas_dual_quality — see the
+# calibration notes there)
+# ---------------------------------------------------------------------------
+
+_CERT_EQ_TOL = 1e-4
+_CERT_NEG_TOL = 0.5
+_CERT_SUP_TOL = 1e-2
+_TINY = 1e-30
+
+
+def _certificate_qualities(data, sc, vars: Vars, prox: BasicVars):
+    """Score the proximal drift as unscaled Farkas certificates.
+
+    Returns (p_eq, p_neg, p_sup, d_eq, d_cone, d_obj): for the primal
+    certificate (dual-variable drift) the relative stationarity-ray
+    residual, worst cone-sign violation relative to the ray norm, and
+    normalized support value; for the dual certificate (primal drift) the
+    relative P/A-ray residual, worst cone violation, and normalized
+    objective slope.  Valid certificates have eq ~ 0, neg/cone ~ 0 and a
+    clearly negative sup/obj.  All ratios are computed from scaled
+    quantities with the same elementwise unscale factors the residual
+    norms use (solver.hpp:1130-1203), so they equal the unscaled-ray
+    qualities; ratio quantities are normalization-invariant.
+    """
+    adata = ops.abs_data(data)
+    c_inv = 1.0 / sc.c
+    ud_x = sc.d_x * c_inv
+
+    # ---- primal certificate: drift of (y, z_l, z_u, z_bl, z_bu)
+    dy = vars.y - prox.y
+    dz_l = jnp.where(data.hl_mask, vars.z_l - prox.z_l, 0.0)
+    dz_u = jnp.where(data.hu_mask, vars.z_u - prox.z_u, 0.0)
+    dz_bl = jnp.where(data.xl_mask, vars.z_bl - prox.z_bl, 0.0)
+    dz_bu = jnp.where(data.xu_mask, vars.z_bu - prox.z_bu, 0.0)
+
+    # unscaled ray norm (for the sign-violation ratio)
+    norms = jnp.stack([
+        _inf_norm(dy * sc.d_y * c_inv),
+        _inf_norm(dz_l * sc.d_z * c_inv), _inf_norm(dz_u * sc.d_z * c_inv),
+        _inf_norm(jnp.where(data.xl_mask, dz_bl * sc.d_b * c_inv, 0.0)),
+        _inf_norm(jnp.where(data.xu_mask, dz_bu * sc.d_b * c_inv, 0.0)),
+    ])
+    p_norm = jnp.max(norms)
+    negs = jnp.stack([
+        -jnp.min(dz_l * sc.d_z * c_inv, initial=0.0),
+        -jnp.min(dz_u * sc.d_z * c_inv, initial=0.0),
+        -jnp.min(jnp.where(data.xl_mask, dz_bl * sc.d_b * c_inv, 0.0), initial=0.0),
+        -jnp.min(jnp.where(data.xu_mask, dz_bu * sc.d_b * c_inv, 0.0), initial=0.0),
+    ])
+    p_neg = jnp.max(negs) / jnp.maximum(p_norm, _TINY)
+
+    xb = data.x_b_scaling
+    t = ops.AT_y(data, dy) if data.p > 0 else jnp.zeros_like(vars.x)
+    den = ops.AT_y(adata, jnp.abs(dy)) if data.p > 0 else jnp.zeros_like(vars.x)
+    if data.m > 0:
+        t = t + ops.GT_z(data, dz_u - dz_l)
+        den = den + ops.GT_z(adata, jnp.abs(dz_u) + jnp.abs(dz_l))
+    t = t - jnp.where(data.xl_mask, xb * dz_bl, 0.0)
+    t = t + jnp.where(data.xu_mask, xb * dz_bu, 0.0)
+    den = den + jnp.where(data.xl_mask, xb * jnp.abs(dz_bl), 0.0)
+    den = den + jnp.where(data.xu_mask, xb * jnp.abs(dz_bu), 0.0)
+    p_eq = _inf_norm(t * ud_x) / jnp.maximum(
+        jnp.max(den * ud_x, initial=0.0), _TINY
+    )
+
+    sup = data.x_u @ dz_bu - data.x_l @ dz_bl
+    sup_den = jnp.abs(data.x_u) @ jnp.abs(dz_bu) + jnp.abs(data.x_l) @ jnp.abs(dz_bl)
+    if data.p > 0:
+        sup = sup + data.b @ dy
+        sup_den = sup_den + jnp.abs(data.b) @ jnp.abs(dy)
+    if data.m > 0:
+        sup = sup + data.h_u @ dz_u - data.h_l @ dz_l
+        sup_den = sup_den + jnp.abs(data.h_u) @ jnp.abs(dz_u)
+        sup_den = sup_den + jnp.abs(data.h_l) @ jnp.abs(dz_l)
+    p_sup = sup / jnp.maximum(sup_den, _TINY)
+    # an empty ray is not a certificate
+    p_eq = jnp.where(p_norm > 0, p_eq, jnp.inf)
+
+    # ---- dual certificate: drift of x
+    dx = vars.x - prox.x
+    d_norm = _inf_norm(dx * sc.d_x)
+    t1 = ops.P_x(data, dx) * ud_x
+    den1 = ops.P_x(adata, jnp.abs(dx)) * ud_x
+    d_eq_t = _inf_norm(t1)
+    d_eq_den = jnp.max(den1, initial=0.0)
+    if data.p > 0:
+        t2 = ops.A_x(data, dx) / sc.d_y
+        den2 = ops.A_x(adata, jnp.abs(dx)) / sc.d_y
+        d_eq_t = jnp.maximum(d_eq_t, _inf_norm(t2))
+        d_eq_den = jnp.maximum(d_eq_den, jnp.max(den2, initial=0.0))
+    d_eq = d_eq_t / jnp.maximum(d_eq_den, _TINY)
+    d_eq = jnp.where(d_norm > 0, d_eq, jnp.inf)
+
+    cone = jnp.asarray(0.0, dx.dtype)
+    if data.m > 0:
+        gdx = ops.G_x(data, dx) / sc.d_z
+        gden = jnp.maximum(ops.G_x(adata, jnp.abs(dx)) / sc.d_z, _TINY)
+        cone = jnp.maximum(
+            _masked_signed_max(gdx / gden, data.hu_mask),
+            _masked_signed_max(-gdx / gden, data.hl_mask),
+        )
+    bdx = xb * dx / sc.d_b / jnp.maximum(d_norm, _TINY)
+    cone = jnp.maximum(cone, _masked_signed_max(bdx, data.xu_mask))
+    d_cone = jnp.maximum(cone, _masked_signed_max(-bdx, data.xl_mask))
+
+    d_obj = (data.c @ dx) / jnp.maximum(jnp.abs(data.c) @ jnp.abs(dx), _TINY)
+    return p_eq, p_neg, p_sup, d_eq, d_cone, d_obj
+
+
+def _violation_certificate(data, sc, vars: Vars):
+    """Unscaled Farkas ray candidate from the constraint violations of the
+    final iterate (mirrors hostsparse._violation_primal_ray), plus its
+    (eq_rel, sup_rel) quality.  Sign violations are structurally zero."""
+    adata = ops.abs_data(data)
+    x = vars.x
+    dtype = x.dtype
+
+    dy = (ops.A_x(data, x) - data.b) / sc.d_y if data.p > 0 else jnp.zeros_like(vars.y)
+    if data.m > 0:
+        gx = ops.G_x(data, x) / sc.d_z
+        dz_u = jnp.where(data.hu_mask, jnp.maximum(gx - data.h_u / sc.d_z, 0.0), 0.0)
+        dz_l = jnp.where(data.hl_mask, jnp.maximum(data.h_l / sc.d_z - gx, 0.0), 0.0)
+    else:
+        dz_u = dz_l = jnp.zeros_like(vars.z_l)
+    bx = data.x_b_scaling * x / sc.d_b
+    dz_bu = jnp.where(data.xu_mask, jnp.maximum(bx - data.x_u / sc.d_b, 0.0), 0.0)
+    dz_bl = jnp.where(data.xl_mask, jnp.maximum(data.x_l / sc.d_b - bx, 0.0), 0.0)
+
+    # unscaled-matvec identities: A_u' w = [A_s' (w/d_y)] * d_x, etc.
+    t = ops.AT_y(data, dy / sc.d_y) * sc.d_x if data.p > 0 else jnp.zeros_like(x)
+    den = ops.AT_y(adata, jnp.abs(dy) / sc.d_y) * sc.d_x if data.p > 0 else jnp.zeros_like(x)
+    if data.m > 0:
+        t = t + ops.GT_z(data, (dz_u - dz_l) / sc.d_z) * sc.d_x
+        den = den + ops.GT_z(adata, (dz_u + dz_l) / sc.d_z) * sc.d_x
+    t = t + dz_bu - dz_bl
+    den = den + dz_bu + dz_bl
+    eq_rel = _inf_norm(t) / jnp.maximum(jnp.max(den, initial=0.0), _TINY)
+
+    b_u = data.b / sc.d_y if data.p > 0 else vars.y
+    hu_u = data.h_u / sc.d_z
+    hl_u = data.h_l / sc.d_z
+    xu_u = data.x_u / sc.d_b
+    xl_u = data.x_l / sc.d_b
+    sup = b_u @ dy + hu_u @ dz_u - hl_u @ dz_l + xu_u @ dz_bu - xl_u @ dz_bl
+    sup_den = (
+        jnp.abs(b_u) @ jnp.abs(dy) + jnp.abs(hu_u) @ dz_u + jnp.abs(hl_u) @ dz_l
+        + jnp.abs(xu_u) @ dz_bu + jnp.abs(xl_u) @ dz_bl
+    )
+    sup_rel = sup / jnp.maximum(sup_den, _TINY)
+
+    norm = jnp.max(jnp.stack([
+        _inf_norm(dy), _inf_norm(dz_l), _inf_norm(dz_u),
+        _inf_norm(dz_bl), _inf_norm(dz_bu),
+    ]))
+    eq_rel = jnp.where(norm > 0, eq_rel, jnp.asarray(jnp.inf, dtype))
+    return (dy, dz_l, dz_u, dz_bl, dz_bu), eq_rel, sup_rel, norm
+
+
+def _posthoc_certificates(data, sc, settings, state: IPMState, result: Result):
+    """Post-hoc certificate search at max_iter (mirrors the host chain in
+    hostsparse.solve_host, minus the phase-1 QP which stays host-side): an
+    infeasible problem can freeze at a proximal equilibrium where the
+    stall counters never trip; certify from a *validated* ray instead."""
+    max_iter_hit = result.info.status == int(Status.MAX_ITER_REACHED)
+
+    p_eq, p_neg, p_sup, d_eq, d_cone, d_obj = _certificate_qualities(
+        data, sc, state.vars, state.prox
+    )
+    drift_p = (
+        (p_eq <= _CERT_EQ_TOL) & (p_neg <= _CERT_NEG_TOL)
+        & (p_sup <= -_CERT_SUP_TOL)
+    )
+    drift_d = (
+        (d_eq <= _CERT_EQ_TOL) & (d_cone <= _CERT_NEG_TOL)
+        & (d_obj <= -_CERT_SUP_TOL)
+    )
+    ray, v_eq, v_sup, v_norm = _violation_certificate(data, sc, state.vars)
+    viol_p = (v_eq <= _CERT_EQ_TOL) & (v_sup <= -_CERT_SUP_TOL)
+
+    cert_p = max_iter_hit & (drift_p | viol_p)
+    cert_d = max_iter_hit & ~cert_p & drift_d
+    use_viol = max_iter_hit & ~drift_p & viol_p
+
+    status = jnp.where(
+        cert_p,
+        int(Status.PRIMAL_INFEASIBLE),
+        jnp.where(cert_d, int(Status.DUAL_INFEASIBLE), result.info.status),
+    ).astype(jnp.int32)
+
+    # return the validated ray as the certificate (already unscaled)
+    dy, dz_l, dz_u, dz_bl, dz_bu = ray
+    nrm = jnp.maximum(v_norm, _TINY)
+    result = result.replace(
+        y=jnp.where(use_viol, dy / nrm, result.y),
+        z_l=jnp.where(use_viol, dz_l / nrm, result.z_l),
+        z_u=jnp.where(use_viol, dz_u / nrm, result.z_u),
+        z_bl=jnp.where(use_viol, dz_bl / nrm, result.z_bl),
+        z_bu=jnp.where(use_viol, dz_bu / nrm, result.z_bu),
+        info=result.info.replace(status=status),
+    )
+    return result
+
+
+# ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
 
@@ -800,6 +1005,56 @@ def _equality_only_step(data, sc, settings, st: IPMState) -> IPMState:
 # driver
 # ---------------------------------------------------------------------------
 
+def _validate_exit(data, sc, settings, st: IPMState) -> IPMState:
+    """Gate an infeasibility exit on the Farkas certificate itself.  A
+    rejected certificate relaxes the regularization floor, resets the
+    stall counters, tightens the corresponding proximal penalty (the
+    outer proximal-method-of-multipliers update) and sets the status back
+    to RUNNING so the IPM loop resumes — mirrors
+    hostsparse.solve_host._reject_certificate.  Runs *outside* the hot
+    loop: the certificate matvecs are paid only at candidate exits."""
+    info = st.info
+    is_p = info.status == int(Status.PRIMAL_INFEASIBLE)
+    is_d = info.status == int(Status.DUAL_INFEASIBLE)
+
+    def validate(st):
+        info = st.info
+        p_eq, p_neg, p_sup, d_eq, d_cone, d_obj = _certificate_qualities(
+            data, sc, st.vars, st.prox
+        )
+        p_valid = (
+            (p_eq <= _CERT_EQ_TOL) & (p_neg <= _CERT_NEG_TOL)
+            & (p_sup <= -_CERT_SUP_TOL)
+        )
+        d_valid = (
+            (d_eq <= _CERT_EQ_TOL) & (d_cone <= _CERT_NEG_TOL)
+            & (d_obj <= -_CERT_SUP_TOL)
+        )
+        p_reject = is_p & ~p_valid
+        d_reject = is_d & ~d_valid
+        reject = p_reject | d_reject
+        reg_limit = jnp.where(
+            reject, settings.reg_finetune_lower_limit, info.reg_limit
+        )
+        info = info.replace(
+            status=jnp.where(
+                reject, jnp.asarray(int(Status.RUNNING), jnp.int32), info.status
+            ),
+            reg_limit=reg_limit,
+            no_primal_update=jnp.where(reject, 0, info.no_primal_update),
+            no_dual_update=jnp.where(reject, 0, info.no_dual_update),
+            delta=jnp.where(
+                p_reject, jnp.maximum(reg_limit, 0.1 * info.delta), info.delta
+            ),
+            rho=jnp.where(
+                d_reject, jnp.maximum(reg_limit, 0.1 * info.rho), info.rho
+            ),
+        )
+        return st.replace(info=info)
+
+    return lax.cond(is_p | is_d, validate, lambda s: s, st)
+
+
 def solve_scaled(
     data: QPData, sc: Scaling, settings: Settings, has_cone: bool
 ) -> Result:
@@ -833,7 +1088,16 @@ def solve_scaled(
             st,
         )
 
-    state = lax.while_loop(cond, body, state)
+    if settings.verify_certificates:
+        # outer loop re-enters the IPM after a rejected certificate; the
+        # inner loop is the unmodified reference hot path
+        def outer_body(st):
+            st = lax.while_loop(cond, body, st)
+            return _validate_exit(data, sc, settings, st)
+
+        state = lax.while_loop(cond, outer_body, state)
+    else:
+        state = lax.while_loop(cond, body, state)
 
     info = state.info
     info = info.replace(
@@ -844,7 +1108,10 @@ def solve_scaled(
         )
     )
 
-    return _finalize(data, sc, state.vars, info)
+    result = _finalize(data, sc, state.vars, info)
+    if settings.verify_certificates:
+        result = _posthoc_certificates(data, sc, settings, state, result)
+    return result
 
 
 def _finalize(data: QPData, sc: Scaling, v: Vars, info: Info) -> Result:

@@ -179,6 +179,13 @@ class Settings:
     # the reference's accuracy-recovery mechanism (kkt_system.hpp:256-301)
     # and recovers float64-grade solutions from float32 factors.
     mixed_precision: bool = False
+    # Validate Farkas certificates before returning PRIMAL/DUAL_INFEASIBLE
+    # (no reference analog — the reference certifies from stall counters
+    # alone, solver.hpp:616-630, which is trajectory-sensitive).  A failed
+    # validation relaxes the regularization floor and keeps iterating; at
+    # max_iter a post-hoc certificate search (proximal drift, violation
+    # residuals, phase-1 feasibility QP) can still certify infeasibility.
+    verify_certificates: bool = True
 
     def verify(self) -> bool:
         """Mirror of Settings::verify_settings (settings.hpp:84-106)."""

@@ -104,13 +104,11 @@ def test_maros_meszaros_host(name):
     )
 
 
-# pilotnov: severely ill-conditioned feasible LP whose stall counters trip
-# the primal-infeasibility certificate on our LU trajectory (the reference's
-# AMD-ordered LDL^T walks a different path).  Solving it requires static
-# regularization from iteration 0, which in turn breaks finnis/pilot-ja and
-# several infeasibility certificates — a trajectory-parity trade-off tracked
-# for a future round.  93/94 feasible instances pass.
-_XFAIL_NETLIB_FEAS = {"pilotnov"}
+# pilotnov (severely ill-conditioned) used to trip a false
+# primal-infeasibility certificate on our LU trajectory; the Farkas
+# certificate validation gate (hostsparse._primal_ray_quality) rejects the
+# spurious ray and the proximal-penalty tightening on rejection lets it
+# converge.  All 94 feasible instances pass.
 
 
 @pytest.mark.corpus
@@ -119,8 +117,6 @@ def test_netlib_feasible_host(name):
     n = _dim_n(NETLIB_FEAS_DIR, name)
     if n > HOST_MAX_N:
         pytest.skip(f"{name}: n={n} > {HOST_MAX_N} (set PIQP_TPU_FULL_CORPUS=1)")
-    if name in _XFAIL_NETLIB_FEAS:
-        pytest.xfail("ill-conditioned; see comment above")
     prob = load_mat(os.path.join(NETLIB_FEAS_DIR, name + ".mat"), sparse=True)
     res = solve_sparse_host(
         **prob, settings=Settings(infeasibility_threshold=0.01)
@@ -130,15 +126,11 @@ def test_netlib_feasible_host(name):
     )
 
 
-# cplex2/qual/ceria3d are borderline infeasible instances whose
-# certification depends on the exact iterate trajectory: the stall counters
-# must cross their thresholds while the proximal drift exceeds the
-# infeasibility threshold, and our factorization (dense condensed Cholesky /
-# sparse LU, vs the reference's AMD-ordered LDL^T) walks a slightly
-# different path that reaches MAX_ITER at a near-feasible equilibrium
-# instead.  26/29 certify correctly.  Tracked for trajectory-parity tuning
-# in a future round.
-_XFAIL_INFEAS = {"cplex2", "qual", "ceria3d"}
+# cplex2/qual/ceria3d are borderline infeasible instances that reach
+# max_iter at a frozen proximal equilibrium where the stall counters never
+# trip; the post-hoc certificate search (violation-residual ray for
+# cplex2/ceria3d, phase-1 feasibility QP for qual) certifies them.
+# All 29 infeasible instances certify correctly.
 
 
 @pytest.mark.corpus
@@ -147,8 +139,6 @@ def test_netlib_infeasible_host(name):
     n = _dim_n(NETLIB_INFEAS_DIR, name)
     if n > HOST_MAX_N:
         pytest.skip(f"{name}: n={n} > {HOST_MAX_N} (set PIQP_TPU_FULL_CORPUS=1)")
-    if name in _XFAIL_INFEAS:
-        pytest.xfail("borderline infeasibility; see comment above")
     prob = load_mat(os.path.join(NETLIB_INFEAS_DIR, name + ".mat"), sparse=True)
     res = solve_sparse_host(
         **prob, settings=Settings(infeasibility_threshold=0.01)
@@ -167,8 +157,6 @@ def test_netlib_infeasible_device(name):
     n = _dim_n(NETLIB_INFEAS_DIR, name)
     if n > 256:
         pytest.skip(f"{name}: n={n} > 256 (device small-path suite)")
-    if name in _XFAIL_INFEAS:
-        pytest.xfail("borderline infeasibility; see comment above")
     prob = load_mat(os.path.join(NETLIB_INFEAS_DIR, name + ".mat"))
     settings = Settings(infeasibility_threshold=0.01)
     view, res = _solve_padded(prob, settings)

@@ -104,12 +104,16 @@ def test_robot_arm_dense_lu(name):
 
 
 @pytest.mark.corpus
-def test_robot_arm_constr_perm_known_hard():
-    """Same QP as robot_arm_sqp with permuted constraint rows; every
-    backend (incl. the host LU) stalls near 1e-2 primal residual at default
-    tolerances — a knife-edge instance tracked for a future round."""
+def test_robot_arm_constr_perm_infeasible():
+    """robot_arm_sqp_constr_perm is *primal infeasible* (verified
+    independently with scipy's HiGHS feasibility LP; the reference only
+    uses this fixture for KKT-backend factorization agreement and never
+    solves it, multistage_kkt_test.cpp:208-211).  The IPM used to stall at
+    ~1e-2 primal residual until max_iter; the post-hoc certificate search
+    now certifies it with a validated Farkas ray on both the device and
+    host backends."""
     prob = _load("robot_arm_sqp_constr_perm")
     res = solve_dense(**prob, settings=Settings(kkt_solver=KKTBackend.dense_lu))
-    if int(res.info.status) == Status.SOLVED:
-        return  # great - tightened numerics fixed it
-    pytest.xfail("knife-edge conditioning; see docstring")
+    assert int(res.info.status) == Status.PRIMAL_INFEASIBLE
+    rh = solve_sparse_host(**_load("robot_arm_sqp_constr_perm", sparse=True))
+    assert rh.info.status == int(Status.PRIMAL_INFEASIBLE)

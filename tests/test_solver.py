@@ -189,3 +189,20 @@ def test_info_fields():
     P = np.asarray(prob["P"])
     expected = 0.5 * x @ (np.triu(P) + np.triu(P, 1).T) @ x + prob["c"] @ x
     assert np.isclose(p_obj, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_certificate_validation_toggle():
+    """verify_certificates=False reproduces the reference's raw stall-counter
+    exits (solver.hpp:616-630); on clean infeasible problems both modes
+    certify identically."""
+    P = np.array([[6.0, 0.0], [0.0, 4.0]])
+    c = np.array([-1.0, -4.0])
+    A = np.array([[1.0, -2.0]])
+    b = np.array([0.0])
+    G = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    h = np.array([0.0, 2.0, 1.0, -1.0])
+
+    for vc in (True, False):
+        res = solve_dense(P, c, A, b, G, None, h,
+                          settings=Settings(verify_certificates=vc))
+        assert int(res.info.status) == Status.PRIMAL_INFEASIBLE, vc
