@@ -54,18 +54,30 @@ def make_batch(batch, start_seed=0):
 def main():
     settings = Settings()
 
-    data = make_batch(BATCH)
+    # --- accelerator sustained batched throughput: several distinct
+    # pre-uploaded batches dispatched back-to-back (the serving pattern —
+    # keep the device fed).  A single blocking dispatch under-reports by
+    # the ~0.5 ms host dispatch latency, which at ~0.35 ms/batch of
+    # compute would halve the number.  All uploads happen before the
+    # first dispatch (the tunnel faults when transfers interleave with
+    # large-executable dispatches, see module docstring).
+    NB = 4
+    batches = [
+        jax.device_put(make_batch(BATCH, start_seed=1000 * b))
+        for b in range(NB)
+    ]
+    jax.block_until_ready(batches)
 
-    # --- accelerator batched throughput
-    res = _solve_batch_jit(data, settings, True)  # warmup/compile
+    res = _solve_batch_jit(batches[0], settings, True)  # warmup/compile
     jax.block_until_ready(res)
 
     t0 = time.perf_counter()
-    res = _solve_batch_jit(data, settings, True)
-    jax.block_until_ready(res)
+    outs = [_solve_batch_jit(b, settings, True) for b in batches]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    throughput = BATCH / dt
-    n_solved = int(jnp.sum(res.info.status == 1))
+    throughput = NB * BATCH / dt
+    n_solved = sum(int(jnp.sum(o.info.status == 1)) for o in outs)
+    data = batches[0]
 
     # --- sequential CPU baseline (single problem at a time)
     cpu = jax.devices("cpu")[0]
@@ -95,6 +107,7 @@ def main():
                 "extra": {
                     "solved": n_solved,
                     "batch": BATCH,
+                    "batches": 4,
                     "n": N,
                     "cpu_sequential_solves_per_s": round(cpu_throughput, 2),
                     "device": str(jax.devices()[0]),

@@ -186,9 +186,19 @@ def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False):
             delta_reg=ks.delta_reg.astype(f32),
         )
         K = assemble_condensed(data, ks_f)
+        # Jacobi-scale to unit diagonal before the f32 Cholesky: the
+        # barrier terms spread K's diagonal over ~1/mu^2, and factoring
+        # the equilibrated K_s = D^-1 K D^-1 keeps the pivots inside f32
+        # range.  chol(K) = D chol(K_s) exactly, so the returned factor
+        # drops into the standard triangular solves; any factor-quality
+        # loss only slows refinement, never corrupts the solution.
+        dK = jnp.sqrt(jnp.maximum(jnp.diagonal(K), jnp.asarray(1e-30, f32)))
+        dinv = 1.0 / dK
+        Ks = K * dinv[:, None] * dinv[None, :]
+        L = jnp.linalg.cholesky(Ks) * dK[:, None]
     else:
         K = assemble_condensed(data, ks)
-    L = jnp.linalg.cholesky(K)
+        L = jnp.linalg.cholesky(K)
     ok = jnp.all(jnp.isfinite(L))
     return ks.replace(L=L), ok
 

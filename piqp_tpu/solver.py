@@ -482,18 +482,21 @@ def calculate_step(v: Vars, step: Vars, data: QPData):
 
 
 def factor_ladder(
-    data: QPData, settings: Settings, P_diag, vars: Vars, info: Info, use_ir
+    data: QPData, settings: Settings, P_diag, vars: Vars, info: Info, use_ir,
+    mixed: bool = False,
 ):
     """Factor with the numerics-recovery ladder (solver.hpp:446-465, 687-708):
     on failure first enable iterative refinement, then boost rho/delta x100 up
     to max_factor_retires times, else give up (-> NUMERICS).
 
-    Returns (ks, info, use_ir, failed).
+    ``mixed`` selects a float32 factorization (iterative refinement against
+    the float64 target recovers accuracy; the factor is only a
+    preconditioner).  Returns (ks, info, use_ir, failed).
     """
 
     def attempt(rho, delta, ir):
         ks = kkt.compute_scalings(data, settings, vars, rho, delta, ir, P_diag)
-        return kkt.factor(data, ks, settings.mixed_precision)
+        return kkt.factor(data, ks, mixed)
 
     ks, ok = attempt(info.rho, info.delta, use_ir)
     carry = (info.rho, info.delta, info.factor_retires, info.reg_limit,
@@ -540,7 +543,8 @@ def factor_ladder(
 # ---------------------------------------------------------------------------
 
 def _init_state(
-    data: QPData, sc: Scaling, settings: Settings, has_cone: bool
+    data: QPData, sc: Scaling, settings: Settings, has_cone: bool,
+    mixed: bool = False,
 ) -> tuple[IPMState, jax.Array]:
     dtype = data.c.dtype
     n, p, m = data.n, data.p, data.m
@@ -563,7 +567,7 @@ def _init_state(
         settings.iterative_refinement_always_enabled or settings.mixed_precision
     )
     ks, info, use_ir, failed = factor_ladder(
-        data, settings, P_diag, vars0, info, use_ir
+        data, settings, P_diag, vars0, info, use_ir, mixed
     )
 
     # first KKT solve from the raw problem vectors (solver.hpp:473-492)
@@ -641,6 +645,14 @@ def _init_state(
         )
     )
 
+    if mixed:
+        # the init factor/solve ran in f32; hand back a solver-dtype
+        # factor so every loop carry in solve_scaled is type-stable
+        ks = ks.replace(L=jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            ks.L,
+        ))
     state = IPMState(
         vars=vars, prox=prox, res_nr=res_nr, res=res, ks=ks, info=info,
         use_ir=use_ir, P_diag=P_diag,
@@ -709,7 +721,9 @@ def _check_termination(data, sc, settings, st: IPMState) -> IPMState:
     return st.replace(res=res, info=info.replace(status=status))
 
 
-def _iteration(data, sc, settings, has_cone, st: IPMState) -> IPMState:
+def _iteration(
+    data, sc, settings, has_cone, st: IPMState, mixed: bool = False
+) -> IPMState:
     info = st.info.replace(iter=st.info.iter + 1)
     vars = st.vars
     eps = float(jnp.finfo(data.c.dtype).eps)
@@ -769,7 +783,7 @@ def _iteration(data, sc, settings, has_cone, st: IPMState) -> IPMState:
 
     # factorization with recovery ladder
     ks, info, use_ir, failed = factor_ladder(
-        data, settings, st.P_diag, vars, info, st.use_ir
+        data, settings, st.P_diag, vars, info, st.use_ir, mixed
     )
     st = st.replace(vars=vars, ks=ks, info=info, use_ir=use_ir)
 
@@ -1061,7 +1075,9 @@ def solve_scaled(
     """Run the IPM on already-equilibrated data; returns the *unscaled*
     result (solver.hpp:109-112: solve_impl + unscale_results + restore_dual).
     """
-    state, failed = _init_state(data, sc, settings, has_cone)
+    state, failed = _init_state(
+        data, sc, settings, has_cone, settings.mixed_precision
+    )
 
     def cond(st):
         return jnp.logical_and(
@@ -1069,35 +1085,67 @@ def solve_scaled(
             st.info.iter < settings.max_iter,
         )
 
-    def body(st):
-        if settings.verbose:
-            # per-iteration table (solver.hpp:588-604)
-            i = st.info
-            jax.debug.print(
-                "{:3d}   {: .5e}   {: .5e}   {:.5e}   {:.5e}   {:.5e}   "
-                "{:.3e}   {:.3e}   {:.3e}   {:.4f}   {:.4f}",
-                i.iter, i.primal_obj, i.dual_obj, i.duality_gap,
-                i.primal_res, i.dual_res, i.rho, i.delta, i.mu,
-                i.primal_step, i.dual_step,
+    def make_body(mixed):
+        def body(st):
+            if settings.verbose:
+                # per-iteration table (solver.hpp:588-604)
+                i = st.info
+                jax.debug.print(
+                    "{:3d}   {: .5e}   {: .5e}   {:.5e}   {:.5e}   {:.5e}   "
+                    "{:.3e}   {:.3e}   {:.3e}   {:.4f}   {:.4f}",
+                    i.iter, i.primal_obj, i.dual_obj, i.duality_gap,
+                    i.primal_res, i.dual_res, i.rho, i.delta, i.mu,
+                    i.primal_step, i.dual_step,
+                )
+            st = _check_termination(data, sc, settings, st)
+            return lax.cond(
+                st.info.status == int(Status.RUNNING),
+                lambda s: _iteration(data, sc, settings, has_cone, s, mixed),
+                lambda s: s,
+                st,
             )
-        st = _check_termination(data, sc, settings, st)
-        return lax.cond(
-            st.info.status == int(Status.RUNNING),
-            lambda s: _iteration(data, sc, settings, has_cone, s),
-            lambda s: s,
-            st,
-        )
+        return body
+
+    def _cast_L(st, dtype):
+        # loop carries must be type-stable: the factor lives in f32 during
+        # phase A and in the solver dtype elsewhere; each phase refactors
+        # before its first KKT solve, so only the types matter here
+        return st.replace(ks=st.ks.replace(L=jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            st.ks.L,
+        )))
+
+    def run_ipm(st):
+        if settings.mixed_precision:
+            # two-phase mixed precision: float32 factors (native MXU
+            # speed) while the barrier is loose, float64 factors for the
+            # endgame.  A single-phase f32-everywhere mode inflates the
+            # iteration tail badly once cond(K) exceeds f32 range (a
+            # 5x-slower tail problem stalls the whole lockstep vmapped
+            # batch); switching on mu keeps both phases on their fast
+            # path.
+            def cond_a(s):
+                return jnp.logical_and(
+                    cond(s),
+                    s.info.mu > settings.mixed_precision_mu_switch,
+                )
+
+            st = _cast_L(st, jnp.float32)
+            st = lax.while_loop(cond_a, make_body(True), st)
+            st = _cast_L(st, data.c.dtype)
+        return lax.while_loop(cond, make_body(False), st)
 
     if settings.verify_certificates:
         # outer loop re-enters the IPM after a rejected certificate; the
-        # inner loop is the unmodified reference hot path
+        # inner loops are the unmodified reference hot path
         def outer_body(st):
-            st = lax.while_loop(cond, body, st)
+            st = run_ipm(st)
             return _validate_exit(data, sc, settings, st)
 
         state = lax.while_loop(cond, outer_body, state)
     else:
-        state = lax.while_loop(cond, body, state)
+        state = run_ipm(state)
 
     info = state.info
     info = info.replace(

@@ -177,8 +177,11 @@ class Settings:
     # in float32 (native MXU speed) while the IPM iterates and refines in
     # the solver dtype.  Iterative refinement is forced on — it is exactly
     # the reference's accuracy-recovery mechanism (kkt_system.hpp:256-301)
-    # and recovers float64-grade solutions from float32 factors.
+    # and recovers float64-grade solutions from float32 factors.  Two-phase:
+    # float32 factors while mu > mixed_precision_mu_switch, float64 after
+    # (late-IPM condensed systems exceed float32's conditioning range).
     mixed_precision: bool = False
+    mixed_precision_mu_switch: float = 1e-5
     # Validate Farkas certificates before returning PRIMAL/DUAL_INFEASIBLE
     # (no reference analog — the reference certifies from stall counters
     # alone, solver.hpp:616-630, which is trajectory-sensitive).  A failed
