@@ -148,12 +148,34 @@ def _(data: QPData):
     return jnp.zeros_like(data.P)
 
 
-def assemble_condensed(data: QPData, ks: KKTState) -> jax.Array:
+@singledispatch
+def precompute(data):
+    """Constant per-problem terms reused across factorizations (the
+    reference caches AT_A at setup, dense/kkt.hpp:51-55).  Computed once
+    outside the IPM loop; None when the representation has nothing to
+    cache."""
+    return None
+
+
+@precompute.register
+def _(data: QPData):
+    if data.p > 0:
+        return {"AtA": data.A.T @ data.A}
+    return None
+
+
+@precompute.register
+def _(data: FullKKTQPData):
+    return None
+
+
+def assemble_condensed(data: QPData, ks: KKTState, pre=None) -> jax.Array:
     """K = P + diag(x_reg) + (1/delta_reg) A'A + G' diag(1/z_reg_fact) G
     (dense/kkt.hpp:140-160)."""
     K = data.P + jnp.diag(ks.x_reg)
     if data.p > 0:
-        K = K + (data.A.T @ data.A) / ks.delta_reg
+        AtA = pre["AtA"] if pre else data.A.T @ data.A
+        K = K + AtA.astype(K.dtype) / ks.delta_reg
     if data.m > 0:
         z_reg_fact_inv = 1.0 / ks.z_reg_fact
         K = K + data.G.T @ (z_reg_fact_inv[:, None] * data.G)
@@ -161,17 +183,20 @@ def assemble_condensed(data: QPData, ks: KKTState) -> jax.Array:
 
 
 @singledispatch
-def factor(data, ks: KKTState, mixed: bool = False) -> tuple[KKTState, jax.Array]:
+def factor(
+    data, ks: KKTState, mixed: bool = False, pre=None
+) -> tuple[KKTState, jax.Array]:
     """Factor the condensed system; backend chosen by data representation.
 
     ``mixed=True`` assembles and factors in float32 (native MXU speed);
-    iterative refinement in the solver dtype recovers accuracy.
+    iterative refinement in the solver dtype recovers accuracy.  ``pre``
+    carries the loop-invariant terms from ``precompute``.
     """
     raise NotImplementedError(type(data))
 
 
 @factor.register
-def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False):
+def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False, pre=None):
     """Cholesky-factor the condensed matrix; ok=False when the factorization
     produced non-finite values (XLA's cholesky yields NaNs where Eigen's LLT
     reports failure, dense/kkt.hpp:82-83)."""
@@ -185,7 +210,7 @@ def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False):
             z_reg_fact=ks.z_reg_fact.astype(f32),
             delta_reg=ks.delta_reg.astype(f32),
         )
-        K = assemble_condensed(data, ks_f)
+        K = assemble_condensed(data, ks_f, pre)
         # Jacobi-scale to unit diagonal before the f32 Cholesky: the
         # barrier terms spread K's diagonal over ~1/mu^2, and factoring
         # the equilibrated K_s = D^-1 K D^-1 keeps the pivots inside f32
@@ -197,7 +222,7 @@ def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False):
         Ks = K * dinv[:, None] * dinv[None, :]
         L = jnp.linalg.cholesky(Ks) * dK[:, None]
     else:
-        K = assemble_condensed(data, ks)
+        K = assemble_condensed(data, ks, pre)
         L = jnp.linalg.cholesky(K)
     ok = jnp.all(jnp.isfinite(L))
     return ks.replace(L=L), ok
@@ -254,7 +279,9 @@ def _(data: FullKKTQPData):
 
 
 @factor.register
-def _factor_full_lu(data: FullKKTQPData, ks: KKTState, mixed: bool = False):
+def _factor_full_lu(
+    data: FullKKTQPData, ks: KKTState, mixed: bool = False, pre=None
+):
     """Pivoted LU of the full (n+p+m) regularized 3-block KKT matrix
 
         [ P + diag(x_reg)   A'                G'               ]

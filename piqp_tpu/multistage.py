@@ -470,7 +470,7 @@ def _chunked_solve(factors, vs_flat, vg, T, D, Da):
 
 
 @kkt_mod.factor.register
-def _(data: StageQPData, ks, mixed: bool = False):
+def _(data: StageQPData, ks, mixed: bool = False, pre=None):
     """Block Cholesky of the tridiagonal+arrow condensed matrix: a scan
     over stages for short horizons (the reference's sequential recursion,
     multistage_kkt.hpp:1253-1352), two-level chunked for long ones."""

@@ -265,7 +265,7 @@ def _chunk_factor(axis, ndev, Kd, Ksub, Ka, Kc):
 
 
 @kkt_mod.factor.register
-def _(data: ShardedStageQPData, ks, mixed: bool = False):
+def _(data: ShardedStageQPData, ks, mixed: bool = False, pre=None):
     """Partitioned Schur-complement factorization over the mesh axis."""
     Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
     if mixed:

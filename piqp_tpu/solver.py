@@ -483,7 +483,7 @@ def calculate_step(v: Vars, step: Vars, data: QPData):
 
 def factor_ladder(
     data: QPData, settings: Settings, P_diag, vars: Vars, info: Info, use_ir,
-    mixed: bool = False,
+    mixed: bool = False, pre=None,
 ):
     """Factor with the numerics-recovery ladder (solver.hpp:446-465, 687-708):
     on failure first enable iterative refinement, then boost rho/delta x100 up
@@ -496,7 +496,7 @@ def factor_ladder(
 
     def attempt(rho, delta, ir):
         ks = kkt.compute_scalings(data, settings, vars, rho, delta, ir, P_diag)
-        return kkt.factor(data, ks, mixed)
+        return kkt.factor(data, ks, mixed, pre)
 
     ks, ok = attempt(info.rho, info.delta, use_ir)
     carry = (info.rho, info.delta, info.factor_retires, info.reg_limit,
@@ -544,7 +544,7 @@ def factor_ladder(
 
 def _init_state(
     data: QPData, sc: Scaling, settings: Settings, has_cone: bool,
-    mixed: bool = False,
+    mixed: bool = False, pre=None,
 ) -> tuple[IPMState, jax.Array]:
     dtype = data.c.dtype
     n, p, m = data.n, data.p, data.m
@@ -567,7 +567,7 @@ def _init_state(
         settings.iterative_refinement_always_enabled or settings.mixed_precision
     )
     ks, info, use_ir, failed = factor_ladder(
-        data, settings, P_diag, vars0, info, use_ir, mixed
+        data, settings, P_diag, vars0, info, use_ir, mixed, pre
     )
 
     # first KKT solve from the raw problem vectors (solver.hpp:473-492)
@@ -722,7 +722,7 @@ def _check_termination(data, sc, settings, st: IPMState) -> IPMState:
 
 
 def _iteration(
-    data, sc, settings, has_cone, st: IPMState, mixed: bool = False
+    data, sc, settings, has_cone, st: IPMState, mixed: bool = False, pre=None
 ) -> IPMState:
     info = st.info.replace(iter=st.info.iter + 1)
     vars = st.vars
@@ -783,7 +783,7 @@ def _iteration(
 
     # factorization with recovery ladder
     ks, info, use_ir, failed = factor_ladder(
-        data, settings, st.P_diag, vars, info, st.use_ir, mixed
+        data, settings, st.P_diag, vars, info, st.use_ir, mixed, pre
     )
     st = st.replace(vars=vars, ks=ks, info=info, use_ir=use_ir)
 
@@ -1075,8 +1075,9 @@ def solve_scaled(
     """Run the IPM on already-equilibrated data; returns the *unscaled*
     result (solver.hpp:109-112: solve_impl + unscale_results + restore_dual).
     """
+    pre = kkt.precompute(data)
     state, failed = _init_state(
-        data, sc, settings, has_cone, settings.mixed_precision
+        data, sc, settings, has_cone, settings.mixed_precision, pre
     )
 
     def cond(st):
@@ -1100,7 +1101,7 @@ def solve_scaled(
             st = _check_termination(data, sc, settings, st)
             return lax.cond(
                 st.info.status == int(Status.RUNNING),
-                lambda s: _iteration(data, sc, settings, has_cone, s, mixed),
+                lambda s: _iteration(data, sc, settings, has_cone, s, mixed, pre),
                 lambda s: s,
                 st,
             )
