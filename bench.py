@@ -76,6 +76,7 @@ def main():
         cts = []
         for _ in range(2):
             dt, rc = _timed_solve(cdata, Settings())
+            assert int(rc.info.status) == Status.SOLVED
             cts.append(dt)
     cpu_t = float(np.median(cts))
 

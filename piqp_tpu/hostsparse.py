@@ -416,13 +416,13 @@ def settings_reg(settings: Settings) -> float:
     return settings.iterative_refinement_static_regularization_eps
 
 
-# Certificate-validation tolerances, calibrated on the Netlib infeasible
-# corpus (see docs/corpus.md): genuinely infeasible instances certify with
-# eq_rel <= 2.6e-6, neg <= 0.30, sup_rel <= -0.026, while the false
-# pilotnov certificate shows neg = 1.0, sup_rel = -3.9e-4.
-_CERT_EQ_TOL = 1e-4
-_CERT_NEG_TOL = 0.5
-_CERT_SUP_TOL = 1e-2
+# Certificate-validation tolerances shared with the device backend
+# (calibration notes in types.py).
+from .types import (
+    CERT_EQ_TOL as _CERT_EQ_TOL,
+    CERT_NEG_TOL as _CERT_NEG_TOL,
+    CERT_SUP_TOL as _CERT_SUP_TOL,
+)
 
 
 def _primal_ray_quality(d0: HostData, dy, dz_l, dz_u, dz_bl, dz_bu):

@@ -238,9 +238,12 @@ def residuals_r(
 # calibration notes there)
 # ---------------------------------------------------------------------------
 
-_CERT_EQ_TOL = 1e-4
-_CERT_NEG_TOL = 0.5
-_CERT_SUP_TOL = 1e-2
+from .types import (  # noqa: E402  (grouped with the certificate code)
+    CERT_EQ_TOL as _CERT_EQ_TOL,
+    CERT_NEG_TOL as _CERT_NEG_TOL,
+    CERT_SUP_TOL as _CERT_SUP_TOL,
+)
+
 _TINY = 1e-30
 
 
@@ -394,47 +397,72 @@ def _violation_certificate(data, sc, vars: Vars):
 
 def _posthoc_certificates(data, sc, settings, state: IPMState, result: Result):
     """Post-hoc certificate search at max_iter (mirrors the host chain in
-    hostsparse.solve_host, minus the phase-1 QP which stays host-side): an
+    hostsparse.solve_host — same order: drift-primal, drift-dual,
+    violation ray — minus the phase-1 QP which stays host-side): an
     infeasible problem can freeze at a proximal equilibrium where the
-    stall counters never trip; certify from a *validated* ray instead."""
-    max_iter_hit = result.info.status == int(Status.MAX_ITER_REACHED)
+    stall counters never trip; certify from a *validated* ray instead.
+    The whole search runs under lax.cond so converged solves pay nothing.
+    """
 
-    p_eq, p_neg, p_sup, d_eq, d_cone, d_obj = _certificate_qualities(
-        data, sc, state.vars, state.prox
-    )
-    drift_p = (
-        (p_eq <= _CERT_EQ_TOL) & (p_neg <= _CERT_NEG_TOL)
-        & (p_sup <= -_CERT_SUP_TOL)
-    )
-    drift_d = (
-        (d_eq <= _CERT_EQ_TOL) & (d_cone <= _CERT_NEG_TOL)
-        & (d_obj <= -_CERT_SUP_TOL)
-    )
-    ray, v_eq, v_sup, v_norm = _violation_certificate(data, sc, state.vars)
-    viol_p = (v_eq <= _CERT_EQ_TOL) & (v_sup <= -_CERT_SUP_TOL)
+    def search(result):
+        vars, prox = state.vars, state.prox
+        p_eq, p_neg, p_sup, d_eq, d_cone, d_obj = _certificate_qualities(
+            data, sc, vars, prox
+        )
+        drift_p = (
+            (p_eq <= _CERT_EQ_TOL) & (p_neg <= _CERT_NEG_TOL)
+            & (p_sup <= -_CERT_SUP_TOL)
+        )
+        drift_d = (
+            (d_eq <= _CERT_EQ_TOL) & (d_cone <= _CERT_NEG_TOL)
+            & (d_obj <= -_CERT_SUP_TOL)
+        )
+        vray, v_eq, v_sup, v_norm = _violation_certificate(data, sc, vars)
+        viol_p = (v_eq <= _CERT_EQ_TOL) & (v_sup <= -_CERT_SUP_TOL)
 
-    cert_p = max_iter_hit & (drift_p | viol_p)
-    cert_d = max_iter_hit & ~cert_p & drift_d
-    use_viol = max_iter_hit & ~drift_p & viol_p
+        # host-chain order: drift-primal, then drift-dual, then violation
+        cert_p_drift = drift_p
+        cert_d = ~drift_p & drift_d
+        cert_p_viol = ~drift_p & ~drift_d & viol_p
 
-    status = jnp.where(
-        cert_p,
-        int(Status.PRIMAL_INFEASIBLE),
-        jnp.where(cert_d, int(Status.DUAL_INFEASIBLE), result.info.status),
-    ).astype(jnp.int32)
+        status = jnp.where(
+            cert_p_drift | cert_p_viol,
+            int(Status.PRIMAL_INFEASIBLE),
+            jnp.where(cert_d, int(Status.DUAL_INFEASIBLE), result.info.status),
+        ).astype(jnp.int32)
 
-    # return the validated ray as the certificate (already unscaled)
-    dy, dz_l, dz_u, dz_bl, dz_bu = ray
-    nrm = jnp.maximum(v_norm, _TINY)
-    result = result.replace(
-        y=jnp.where(use_viol, dy / nrm, result.y),
-        z_l=jnp.where(use_viol, dz_l / nrm, result.z_l),
-        z_u=jnp.where(use_viol, dz_u / nrm, result.z_u),
-        z_bl=jnp.where(use_viol, dz_bl / nrm, result.z_bl),
-        z_bu=jnp.where(use_viol, dz_bu / nrm, result.z_bu),
-        info=result.info.replace(status=status),
+        # return the validated ray (unscaled, unit inf-norm) as the
+        # certificate, exactly like the host backend
+        c_inv = 1.0 / sc.c
+        dray = (
+            (vars.y - prox.y) * sc.d_y * c_inv,
+            jnp.where(data.hl_mask, (vars.z_l - prox.z_l) * sc.d_z * c_inv, 0.0),
+            jnp.where(data.hu_mask, (vars.z_u - prox.z_u) * sc.d_z * c_inv, 0.0),
+            jnp.where(data.xl_mask, (vars.z_bl - prox.z_bl) * sc.d_b * c_inv, 0.0),
+            jnp.where(data.xu_mask, (vars.z_bu - prox.z_bu) * sc.d_b * c_inv, 0.0),
+        )
+        d_norm = jnp.maximum(jnp.max(jnp.stack([_inf_norm(r) for r in dray])), _TINY)
+        v_nrm = jnp.maximum(v_norm, _TINY)
+
+        def pick(drift_c, viol_c, old):
+            return jnp.where(
+                cert_p_drift, drift_c / d_norm,
+                jnp.where(cert_p_viol, viol_c / v_nrm, old),
+            )
+
+        return result.replace(
+            y=pick(dray[0], vray[0], result.y),
+            z_l=pick(dray[1], vray[1], result.z_l),
+            z_u=pick(dray[2], vray[2], result.z_u),
+            z_bl=pick(dray[3], vray[3], result.z_bl),
+            z_bu=pick(dray[4], vray[4], result.z_bu),
+            info=result.info.replace(status=status),
+        )
+
+    return lax.cond(
+        result.info.status == int(Status.MAX_ITER_REACHED),
+        search, lambda r: r, result,
     )
-    return result
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,16 @@ import jax.numpy as jnp
 # (mirrors PIQP_INF = 1e30, fwd.hpp:54).
 PIQP_INF = 1e30
 
+# Farkas-certificate validation tolerances, shared by the device
+# (solver.py) and host (hostsparse.py) backends.  Calibrated on the
+# Netlib infeasible corpus (see docs/corpus.md): genuinely infeasible
+# instances certify with eq_rel <= 2.6e-6, neg <= 0.30,
+# sup_rel <= -0.026, while pilotnov's spurious ray showed neg = 1.0,
+# sup_rel = -3.9e-4.
+CERT_EQ_TOL = 1e-4
+CERT_NEG_TOL = 0.5
+CERT_SUP_TOL = 1e-2
+
 
 class Status(enum.IntEnum):
     """Solver status codes (mirrors results.hpp:18-27)."""
@@ -208,6 +218,7 @@ class Settings:
             and self.preconditioner_iter >= 0
             and self.tau > 0
             and self.tau <= 1
+            and self.mixed_precision_mu_switch > 0
             and self.iterative_refinement_eps_abs > 0
             and self.iterative_refinement_eps_rel >= 0
             and self.iterative_refinement_max_iter >= 0
