@@ -5,6 +5,11 @@ vmapped dispatch, optionally sharded over all available devices
 Run: python examples/batch_example.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 import jax

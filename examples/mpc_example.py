@@ -6,6 +6,11 @@ usage pattern, reference docs/_pages/multistage.md).
 Run: python examples/mpc_example.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 import piqp_tpu
