@@ -67,6 +67,17 @@ def main():
         ts.append(dt)
     dev_t = float(np.median(ts))
 
+    # host sparse backend for context (SuperLU exploits the fixture's
+    # sparsity; reported in extra, not the baseline — the baseline is the
+    # same dense algorithm on CPU)
+    from piqp_tpu.hostsparse import solve_sparse_host
+    from piqp_tpu.utils.io import load_mat as _lm
+    sp_prob = _lm(FIXTURE, sparse=True)
+    t0 = time.perf_counter()
+    rh = solve_sparse_host(**sp_prob)
+    host_t = time.perf_counter() - t0
+    assert rh.info.status == int(Status.SOLVED)
+
     # sequential CPU dense baseline (same problem, same algorithm, f64)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -90,6 +101,7 @@ def main():
                 "extra": {
                     "device_mixed_ms": round(dev_t * 1e3, 1),
                     "cpu_dense_f64_ms": round(cpu_t * 1e3, 1),
+                    "host_sparse_ms": round(host_t * 1e3, 1),
                     "iters": int(res.info.iter),
                     "eps_abs": 1e-8,
                     "device": str(jax.devices()[0]),

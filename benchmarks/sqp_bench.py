@@ -88,6 +88,52 @@ def bench_multistage(name):
     )
 
 
+def bench_dense_device(name):
+    """Dense condensed device backend with two-phase mixed precision —
+    the routing winner for n ~ 1-2k single problems (docs/performance.md).
+    Same upload-everything-then-dispatch pattern as bench_multistage."""
+    from piqp_tpu.api import prepare_data, _solve_fresh
+
+    prob = load_mat(os.path.join(DATA, name + ".mat"))
+    rng = np.random.default_rng(0)
+    settings = piqp_tpu.Settings(mixed_precision=True)
+
+    upd_ts = []
+    datas = []
+    for _ in range(REPS):
+        new = _perturb(prob, rng)
+        t1 = time.perf_counter()
+        d = jax.device_put(prepare_data(**new))
+        upd_ts.append(time.perf_counter() - t1)
+        datas.append(d)
+    jax.block_until_ready(datas)
+
+    t0 = time.perf_counter()
+    data = jax.device_put(prepare_data(**prob))
+    res, _ = _solve_fresh(data, settings, True)  # warmup/compile
+    np.asarray(res.x)
+    setup_time = time.perf_counter() - t0
+    assert int(res.info.status) == Status.SOLVED, int(res.info.status)
+
+    t0 = time.perf_counter()
+    outs = [_solve_fresh(d, settings, True)[0] for d in datas]
+    for o in outs:
+        np.asarray(o.x)
+    solve_ms = (time.perf_counter() - t0) / REPS * 1e3
+    for o in outs:
+        assert int(o.info.status) == Status.SOLVED
+
+    return dict(
+        fixture=name,
+        backend="dense_device_mixed",
+        setup_s=round(setup_time, 3),
+        update_ms=round(float(np.median(upd_ts)) * 1e3, 2),
+        solve_ms=round(solve_ms, 2),
+        iters=int(outs[-1].info.iter),
+        device=str(jax.devices()[0]),
+    )
+
+
 def bench_host(name):
     prob = load_mat(os.path.join(DATA, name + ".mat"), sparse=True)
     rng = np.random.default_rng(0)
@@ -108,13 +154,35 @@ def bench_host(name):
     )
 
 
+_BACKENDS = {
+    "multistage": bench_multistage,
+    "dense": bench_dense_device,
+    "host": bench_host,
+}
+
+
 def main():
+    """With (fixture, backend) args: run that one cell.  Without args:
+    re-exec one subprocess per cell — the tunneled TPU runtime degrades
+    per-process as executables accumulate, so only the first device
+    measurement in a process is trustworthy."""
+    if len(sys.argv) == 3:
+        name, backend = sys.argv[1], sys.argv[2]
+        try:
+            print(json.dumps(_BACKENDS[backend](name)), flush=True)
+        except Exception as e:  # pragma: no cover
+            print(json.dumps(dict(fixture=name, backend=backend,
+                                  error=str(e)[:200])), flush=True)
+        return
+
+    import subprocess
+
     for name in FIXTURES:
-        for fn in (bench_multistage, bench_host):
-            try:
-                print(json.dumps(fn(name)), flush=True)
-            except Exception as e:  # pragma: no cover
-                print(json.dumps(dict(fixture=name, error=str(e)[:200])), flush=True)
+        for backend in _BACKENDS:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name, backend],
+                check=False,
+            )
 
 
 if __name__ == "__main__":
