@@ -270,6 +270,8 @@ def _tsolve(L, B, transpose=False):
 def _(data: StageQPData):
     T, D, Da = data.T, data.D, data.Da
     dt = data.c.dtype
+    if _use_cr(T):
+        return _cr_empty(T, D, Da, dt)
     C = _chunk_count(T)
     if C is not None:
         Q = T // C
@@ -469,17 +471,135 @@ def _chunked_solve(factors, vs_flat, vg, T, D, Da):
     return xs, xg
 
 
+# ---------------------------------------------------------------------------
+# block cyclic reduction (log-depth factorization for long power-of-two
+# horizons)
+# ---------------------------------------------------------------------------
+#
+# Even-odd elimination of the block-tridiagonal + arrow system: each level
+# Cholesky-factors all ODD diagonal blocks at once (one batched potrf +
+# three batched solves + five batched GEMMs), substitutes them out — the
+# reduced system is again block-tridiagonal + arrow over the evens — and
+# recurses.  Sequential depth drops from ~2*sqrt(T) scan steps (two-level
+# chunked scheme above) to log2(T) batched levels, each one MXU-shaped.
+# On SPD systems this is block Cholesky under a nested-dissection
+# permutation, so stability matches the sequential recursion.  Selected
+# for power-of-two horizons T >= _CR_MIN_T (long-horizon MPC is typically
+# built at T = 128/256/512); other sizes use the chunked scheme.
+
+_CR_MIN_T = 64
+
+
+def _use_cr(T: int) -> bool:
+    return T >= _CR_MIN_T and (T & (T - 1)) == 0
+
+
+def _bsolve(L, B):
+    """Batched cho_solve: (..., D, D) lower factors applied to (..., D, r)."""
+    X = lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
+    return lax.linalg.triangular_solve(
+        L, X, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def cr_factor(Kd, Ksub, Ka, Kc):
+    """Cyclic-reduction factorization; T must be a power of two.
+
+    Returns (levels, base) where levels[l] = (Lo, X1, X2, XE) holds the
+    odd-block Cholesky factors and the substitution operators
+    X1 = Do^-1 S_in, X2 = Do^-1 S_out', XE = Do^-1 Eo' of level l, and
+    base = the 1-stage chain factors of the fully reduced system."""
+    T = Kd.shape[0]
+    levels = []
+    ok = jnp.asarray(True)
+    while T > 1:
+        Do, De = Kd[1::2], Kd[0::2]
+        S_in, S_out = Ksub[0::2], Ksub[1::2]  # K[j,j-1], K[j+1,j] for odd j
+        Eo, Ee = Ka[1::2], Ka[0::2]
+
+        Lo = jnp.linalg.cholesky(Do)
+        ok = ok & jnp.all(jnp.isfinite(Lo))
+        X1 = _bsolve(Lo, S_in)
+        X2 = _bsolve(Lo, jnp.swapaxes(S_out, -1, -2))
+        XE = _bsolve(Lo, jnp.swapaxes(Eo, -1, -2))
+        levels.append((Lo, X1, X2, XE))
+
+        Kd = De - jnp.einsum("kji,kjl->kil", S_in, X1)
+        Kd = Kd.at[1:].add(-jnp.einsum("kij,kjl->kil", S_out, X2)[:-1])
+        # S_out of the last odd stage is zero by the Ksub convention, so
+        # its (out-of-range) right-neighbor update vanishes
+        Ksub = -jnp.einsum("kij,kjl->kil", S_out, X1)
+        Ka = Ee - jnp.einsum("kaj,kjl->kal", Eo, X1)
+        Ka = Ka.at[1:].add(-jnp.einsum("kaj,kjl->kal", Eo, X2)[:-1])
+        Kc = Kc - jnp.einsum("kaj,kjb->ab", Eo, XE)
+        T //= 2
+
+    Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
+    Lc = jnp.linalg.cholesky(Kc - acc)
+    ok = ok & jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.isfinite(Lc))
+    return (tuple(levels), (Ls, Cs, Fs, Lc)), ok
+
+
+def cr_solve(factors, vs, vg):
+    """Forward/backward cyclic-reduction sweeps: log2(T) batched levels
+    down (condense the RHS onto the evens + arrow), base solve, log2(T)
+    levels up (back-substitute the odd stages)."""
+    levels, (Ls, Cs, Fs, Lc) = factors
+    v_odds = []
+    for (Lo, X1, X2, XE) in levels:
+        v_o, v_e = vs[1::2], vs[0::2]
+        v_odds.append(v_o)
+        vs = v_e - jnp.einsum("kji,kj->ki", X1, v_o)
+        vs = vs.at[1:].add(-jnp.einsum("kji,kj->ki", X2, v_o)[:-1])
+        vg = vg - jnp.einsum("kja,kj->a", XE, v_o)
+
+    ws, gacc = chain_fwd(Ls, Cs, Fs, vs)
+    cwg = _tsolve(Lc, vg - gacc)
+    xg = _tsolve(Lc, cwg, transpose=True)
+    x = chain_bwd(Ls, Cs, Fs, ws, xg)  # (1, D)
+
+    for (Lo, X1, X2, XE), v_o in zip(reversed(levels), reversed(v_odds)):
+        x_e = x
+        x_next = jnp.concatenate([x_e[1:], jnp.zeros_like(x_e[:1])], axis=0)
+        x_o = _bsolve(Lo, v_o[..., None])[..., 0]
+        x_o = x_o - jnp.einsum("kij,kj->ki", X1, x_e)
+        x_o = x_o - jnp.einsum("kij,kj->ki", X2, x_next)
+        x_o = x_o - jnp.einsum("kia,a->ki", XE, xg)
+        H, D = x_e.shape
+        x = jnp.zeros((2 * H, D), x_e.dtype)
+        x = x.at[0::2].set(x_e).at[1::2].set(x_o)
+    return x, xg
+
+
+def _cr_empty(T, D, Da, dt):
+    z = jnp.zeros
+    levels = []
+    t = T
+    while t > 1:
+        H = t // 2
+        levels.append((z((H, D, D), dt), z((H, D, D), dt),
+                       z((H, D, D), dt), z((H, D, Da), dt)))
+        t //= 2
+    base = (z((1, D, D), dt), z((1, D, D), dt), z((1, Da, D), dt),
+            z((Da, Da), dt))
+    return (tuple(levels), base)
+
+
 @kkt_mod.factor.register
 def _(data: StageQPData, ks, mixed: bool = False, pre=None):
     """Block Cholesky of the tridiagonal+arrow condensed matrix: a scan
     over stages for short horizons (the reference's sequential recursion,
-    multistage_kkt.hpp:1253-1352), two-level chunked for long ones."""
+    multistage_kkt.hpp:1253-1352), two-level chunked for long ones,
+    cyclic reduction for long power-of-two ones."""
     Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
     if mixed:
         f32 = jnp.float32
         Kd, Ksub, Ka, Kc = (
             Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
         )
+    if _use_cr(data.T):
+        factors, ok = cr_factor(Kd, Ksub, Ka, Kc)
+        return ks.replace(L=factors), ok
     C = _chunk_count(data.T)
     if C is not None:
         factors, ok = _chunked_factor(Kd, Ksub, Ka, Kc, C)
@@ -498,7 +618,13 @@ def _(data: StageQPData, ks, mixed: bool = False, pre=None):
 def _(data: StageQPData, ks, v):
     """Forward/backward block-triangular sweeps
     (solve_llt_in_place, multistage_kkt.hpp:1709-1816); two-level chunked
-    for long horizons."""
+    or cyclic-reduction for long horizons."""
+    if _use_cr(data.T):
+        Lo0 = ks.L[0][0][0]
+        dt = Lo0.dtype
+        vs, vg = _split_x(data, v.astype(dt))
+        xs, xg = cr_solve(ks.L, vs.reshape(data.T, data.D), vg)
+        return _join_x(xs, xg).astype(v.dtype)
     C = _chunk_count(data.T)
     if C is not None:
         Ls = ks.L[0]

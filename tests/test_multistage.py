@@ -210,3 +210,63 @@ def test_detect_rejects_unstructured():
     P = Q @ Q.T + n * np.eye(n)
     with pytest.raises(ValueError):
         ms.from_sparse(sp.csc_matrix(P), np.zeros(n))
+
+
+def test_cyclic_reduction_matches_chain():
+    """cr_factor/cr_solve must reproduce the sequential chain solve on a
+    random SPD block-tridiagonal + arrow system (T = 64, power of two)."""
+    import numpy as np
+    from piqp_tpu.multistage import (
+        cr_factor, cr_solve, chain_factor, chain_fwd, chain_bwd, _tsolve,
+        _use_cr,
+    )
+
+    assert _use_cr(64) and not _use_cr(48) and not _use_cr(16)
+
+    rng = np.random.default_rng(5)
+    T, D, Da = 64, 5, 3
+    Kd = rng.standard_normal((T, D, D)) * 0.3
+    Kd = 0.5 * (Kd + Kd.transpose(0, 2, 1)) + (2 * D + Da + 1) * np.eye(D)
+    Ksub = rng.standard_normal((T, D, D)) * 0.3
+    Ksub[-1] = 0.0
+    Ka = rng.standard_normal((T, Da, D)) * 0.3
+    Kc = rng.standard_normal((Da, Da)) * 0.3
+    Kc = 0.5 * (Kc + Kc.T) + (2 * D + Da + 1) * np.eye(Da)
+    vs = rng.standard_normal((T, D))
+    vg = rng.standard_normal(Da)
+
+    Kd, Ksub, Ka, Kc, vs, vg = map(jnp.asarray, (Kd, Ksub, Ka, Kc, vs, vg))
+
+    factors, ok = cr_factor(Kd, Ksub, Ka, Kc)
+    assert bool(ok)
+    xs, xg = cr_solve(factors, vs, vg)
+
+    Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
+    Lc = jnp.linalg.cholesky(Kc - acc)
+    ws, gacc = chain_fwd(Ls, Cs, Fs, vs)
+    wg = _tsolve(Lc, vg - gacc)
+    xg_ref = _tsolve(Lc, wg, transpose=True)
+    xs_ref = chain_bwd(Ls, Cs, Fs, ws, xg_ref)
+
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xg_ref),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_cyclic_reduction_end_to_end():
+    """A T=64 random multistage QP routes through the CR factorization
+    (T is a power of two >= _CR_MIN_T) and matches the dense backend."""
+    import numpy as np
+
+    sdata = ms.random_multistage_qp(T=64, D=4, Da=2, ra=2, rg=2, seed=11)
+    assert ms._use_cr(sdata.T)
+    res = solve_prepared(sdata)
+    assert int(res.info.status) == Status.SOLVED
+
+    ddata = ms.to_dense(sdata)
+    res_d = solve_prepared(ddata)
+    assert int(res_d.info.status) == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res_d.x), rtol=1e-6, atol=1e-7
+    )
