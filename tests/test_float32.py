@@ -70,3 +70,19 @@ def test_mixed_precision_multistage():
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(res64.x), atol=1e-6, rtol=1e-6
     )
+
+
+def test_mixed_precision_cyclic_reduction():
+    """Two-phase mixed precision composes with the cyclic-reduction
+    factorization (power-of-two horizon)."""
+    from piqp_tpu import multistage as ms
+    from piqp_tpu import solve_prepared
+
+    sdata = ms.random_multistage_qp(T=64, D=4, Da=2, ra=2, rg=2, seed=13)
+    assert ms._use_cr(sdata.T)
+    res = solve_prepared(sdata, MIXED)
+    assert int(res.info.status) == Status.SOLVED
+    res64 = solve_prepared(sdata)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res64.x), atol=1e-6, rtol=1e-6
+    )
