@@ -124,3 +124,42 @@ def test_eight_device_mesh():
     np.testing.assert_allclose(
         np.asarray(res_sh.x), np.asarray(res_seq.x), rtol=1e-6, atol=1e-7
     )
+
+
+def test_2d_fleet_dp_x_sp():
+    """Scenario fleet of multistage QPs on a 2D mesh: batch axis sharded
+    over dp, stage-blocked tensors over sp — GSPMD partitions the batched
+    block einsums/scans from the input shardings alone (no shard_map)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from piqp_tpu import Settings, multistage as ms
+    from piqp_tpu import ruiz, solver
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    base = ms.random_multistage_qp(T=16, D=4, Da=2, ra=2, rg=2, seed=0)
+    rng = np.random.default_rng(1)
+    datas = [
+        base.replace(c=base.c + 0.01 * jnp.asarray(rng.standard_normal(base.n)))
+        for _ in range(2)
+    ]
+    fleet = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+
+    def spec(x):
+        if x.ndim >= 3 and x.shape[1] == base.T:
+            return P("dp", "sp")
+        return P("dp")
+
+    fleet = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), fleet
+    )
+    settings = Settings()
+
+    def one(d):
+        sd, sc = ruiz.equilibrate(d, settings.preconditioner_iter,
+                                  settings.preconditioner_scale_cost)
+        return solver.solve_scaled(sd, sc, settings, True)
+
+    with jax.default_matmul_precision("highest"):
+        res = jax.jit(jax.vmap(one))(fleet)
+    res = jax.block_until_ready(res)
+    assert np.all(np.asarray(res.info.status) == 1)
