@@ -487,11 +487,11 @@ def _chunked_solve(factors, vs_flat, vg, T, D, Da):
 # for power-of-two horizons T >= _CR_MIN_T (long-horizon MPC is typically
 # built at T = 128/256/512); other sizes use the chunked scheme.
 
-_CR_MIN_T = 64
+_CR_MIN_T = 16
 
 
 def _use_cr(T: int) -> bool:
-    return T >= _CR_MIN_T and (T & (T - 1)) == 0
+    return T >= _CR_MIN_T
 
 
 def _bsolve(L, B):
@@ -503,7 +503,14 @@ def _bsolve(L, B):
 
 
 def cr_factor(Kd, Ksub, Ka, Kc):
-    """Cyclic-reduction factorization; T must be a power of two.
+    """Cyclic-reduction factorization for any horizon length.
+
+    Each level eliminates the odd-indexed stages (H_o = T//2 of them) at
+    once; the reduced system lives on the H_e = T - H_o even stages.  For
+    odd T the last stage is even-indexed and every odd stage has a right
+    neighbor; for even T the last odd stage's right-coupling S_out is zero
+    by the Ksub convention, so both parities use the same formulas with
+    parity-dependent slicing.
 
     Returns (levels, base) where levels[l] = (Lo, X1, X2, XE) holds the
     odd-block Cholesky factors and the substitution operators
@@ -513,8 +520,11 @@ def cr_factor(Kd, Ksub, Ka, Kc):
     levels = []
     ok = jnp.asarray(True)
     while T > 1:
+        H_o = T // 2
+        H_e = T - H_o
         Do, De = Kd[1::2], Kd[0::2]
-        S_in, S_out = Ksub[0::2], Ksub[1::2]  # K[j,j-1], K[j+1,j] for odd j
+        S_in = Ksub[0::2][:H_o]   # K[j, j-1] for odd j = 2k+1
+        S_out = Ksub[1::2]        # K[j+1, j]
         Eo, Ee = Ka[1::2], Ka[0::2]
 
         Lo = jnp.linalg.cholesky(Do)
@@ -524,15 +534,24 @@ def cr_factor(Kd, Ksub, Ka, Kc):
         XE = _bsolve(Lo, jnp.swapaxes(Eo, -1, -2))
         levels.append((Lo, X1, X2, XE))
 
-        Kd = De - jnp.einsum("kji,kjl->kil", S_in, X1)
-        Kd = Kd.at[1:].add(-jnp.einsum("kij,kjl->kil", S_out, X2)[:-1])
-        # S_out of the last odd stage is zero by the Ksub convention, so
-        # its (out-of-range) right-neighbor update vanishes
-        Ksub = -jnp.einsum("kij,kjl->kil", S_out, X1)
-        Ka = Ee - jnp.einsum("kaj,kjl->kal", Eo, X1)
-        Ka = Ka.at[1:].add(-jnp.einsum("kaj,kjl->kal", Eo, X2)[:-1])
+        left = jnp.einsum("kji,kjl->kil", S_in, X1)
+        right = jnp.einsum("kij,kjl->kil", S_out, X2)
+        leftE = jnp.einsum("kaj,kjl->kal", Eo, X1)
+        rightE = jnp.einsum("kaj,kjl->kal", Eo, X2)
+        sub = -jnp.einsum("kij,kjl->kil", S_out, X1)
+        if T % 2 == 0:
+            # right-contribution of the last odd stage is zero (S_out = 0)
+            Kd = De - left
+            Kd = Kd.at[1:].add(-right[:-1])
+            Ksub = sub
+            Ka = Ee - leftE
+            Ka = Ka.at[1:].add(-rightE[:-1])
+        else:
+            Kd = De.at[:H_o].add(-left).at[1:].add(-right)
+            Ksub = jnp.concatenate([sub, jnp.zeros_like(sub[:1])], axis=0)
+            Ka = Ee.at[:H_o].add(-leftE).at[1:].add(-rightE)
         Kc = Kc - jnp.einsum("kaj,kjb->ab", Eo, XE)
-        T //= 2
+        T = H_e
 
     Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
     Lc = jnp.linalg.cholesky(Kc - acc)
@@ -541,16 +560,22 @@ def cr_factor(Kd, Ksub, Ka, Kc):
 
 
 def cr_solve(factors, vs, vg):
-    """Forward/backward cyclic-reduction sweeps: log2(T) batched levels
-    down (condense the RHS onto the evens + arrow), base solve, log2(T)
+    """Forward/backward cyclic-reduction sweeps: ~log2(T) batched levels
+    down (condense the RHS onto the evens + arrow), base solve, the same
     levels up (back-substitute the odd stages)."""
     levels, (Ls, Cs, Fs, Lc) = factors
     v_odds = []
     for (Lo, X1, X2, XE) in levels:
+        T = vs.shape[0]
+        H_o = T // 2
         v_o, v_e = vs[1::2], vs[0::2]
         v_odds.append(v_o)
-        vs = v_e - jnp.einsum("kji,kj->ki", X1, v_o)
-        vs = vs.at[1:].add(-jnp.einsum("kji,kj->ki", X2, v_o)[:-1])
+        lv = jnp.einsum("kji,kj->ki", X1, v_o)
+        rv = jnp.einsum("kji,kj->ki", X2, v_o)
+        if T % 2 == 0:
+            vs = (v_e - lv).at[1:].add(-rv[:-1])
+        else:
+            vs = v_e.at[:H_o].add(-lv).at[1:].add(-rv)
         vg = vg - jnp.einsum("kja,kj->a", XE, v_o)
 
     ws, gacc = chain_fwd(Ls, Cs, Fs, vs)
@@ -560,13 +585,18 @@ def cr_solve(factors, vs, vg):
 
     for (Lo, X1, X2, XE), v_o in zip(reversed(levels), reversed(v_odds)):
         x_e = x
-        x_next = jnp.concatenate([x_e[1:], jnp.zeros_like(x_e[:1])], axis=0)
+        H_o = v_o.shape[0]
+        T = H_o + x_e.shape[0]
+        if T % 2 == 0:
+            x_next = jnp.concatenate([x_e[1:], jnp.zeros_like(x_e[:1])], axis=0)
+        else:
+            x_next = x_e[1:]
         x_o = _bsolve(Lo, v_o[..., None])[..., 0]
-        x_o = x_o - jnp.einsum("kij,kj->ki", X1, x_e)
+        x_o = x_o - jnp.einsum("kij,kj->ki", X1, x_e[:H_o])
         x_o = x_o - jnp.einsum("kij,kj->ki", X2, x_next)
         x_o = x_o - jnp.einsum("kia,a->ki", XE, xg)
-        H, D = x_e.shape
-        x = jnp.zeros((2 * H, D), x_e.dtype)
+        D = x_e.shape[1]
+        x = jnp.zeros((T, D), x_e.dtype)
         x = x.at[0::2].set(x_e).at[1::2].set(x_o)
     return x, xg
 
@@ -579,7 +609,7 @@ def _cr_empty(T, D, Da, dt):
         H = t // 2
         levels.append((z((H, D, D), dt), z((H, D, D), dt),
                        z((H, D, D), dt), z((H, D, Da), dt)))
-        t //= 2
+        t -= H
     base = (z((1, D, D), dt), z((1, D, D), dt), z((1, Da, D), dt),
             z((Da, Da), dt))
     return (tuple(levels), base)

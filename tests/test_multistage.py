@@ -212,19 +212,21 @@ def test_detect_rejects_unstructured():
         ms.from_sparse(sp.csc_matrix(P), np.zeros(n))
 
 
-def test_cyclic_reduction_matches_chain():
+@pytest.mark.parametrize("T", [64, 48, 41])
+def test_cyclic_reduction_matches_chain(T):
     """cr_factor/cr_solve must reproduce the sequential chain solve on a
-    random SPD block-tridiagonal + arrow system (T = 64, power of two)."""
+    random SPD block-tridiagonal + arrow system — any horizon length
+    (even, odd and power-of-two levels all occur across these cases)."""
     import numpy as np
     from piqp_tpu.multistage import (
         cr_factor, cr_solve, chain_factor, chain_fwd, chain_bwd, _tsolve,
         _use_cr,
     )
 
-    assert _use_cr(64) and not _use_cr(48) and not _use_cr(16)
+    assert _use_cr(64) and _use_cr(41) and not _use_cr(8)
 
     rng = np.random.default_rng(5)
-    T, D, Da = 64, 5, 3
+    D, Da = 5, 3
     Kd = rng.standard_normal((T, D, D)) * 0.3
     Kd = 0.5 * (Kd + Kd.transpose(0, 2, 1)) + (2 * D + Da + 1) * np.eye(D)
     Ksub = rng.standard_normal((T, D, D)) * 0.3
