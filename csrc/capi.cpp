@@ -273,18 +273,34 @@ int piqp_tpu_solve(piqp_tpu_workspace* w)
     if (ok) {
         PyObject* info = PyObject_GetAttrString(res, "info");
         if (info) {
-            PyObject* it = PyObject_GetAttrString(info, "iter");
-            PyObject* po = PyObject_GetAttrString(info, "primal_obj");
-            PyObject* pr = PyObject_GetAttrString(info, "primal_res");
-            PyObject* dr = PyObject_GetAttrString(info, "dual_res");
-            if (it) w->iter = (int)PyLong_AsLong(PyNumber_Long(it));
-            if (po) w->primal_obj = PyFloat_AsDouble(PyNumber_Float(po));
-            if (pr) w->primal_res = PyFloat_AsDouble(PyNumber_Float(pr));
-            if (dr) w->dual_res = PyFloat_AsDouble(PyNumber_Float(dr));
-            Py_XDECREF(it);
-            Py_XDECREF(po);
-            Py_XDECREF(pr);
-            Py_XDECREF(dr);
+            /* PyNumber_Long/Float return NEW references; hold and release
+               them (they leaked once per solve before round 2). */
+            auto pull_long = [&](const char* name, long* dst) {
+                PyObject* a = PyObject_GetAttrString(info, name);
+                if (!a) return;
+                PyObject* num = PyNumber_Long(a);
+                if (num) {
+                    *dst = PyLong_AsLong(num);
+                    Py_DECREF(num);
+                }
+                Py_DECREF(a);
+            };
+            auto pull_double = [&](const char* name, double* dst) {
+                PyObject* a = PyObject_GetAttrString(info, name);
+                if (!a) return;
+                PyObject* num = PyNumber_Float(a);
+                if (num) {
+                    *dst = PyFloat_AsDouble(num);
+                    Py_DECREF(num);
+                }
+                Py_DECREF(a);
+            };
+            long it = w->iter;
+            pull_long("iter", &it);
+            w->iter = (int)it;
+            pull_double("primal_obj", &w->primal_obj);
+            pull_double("primal_res", &w->primal_res);
+            pull_double("dual_res", &w->dual_res);
             Py_DECREF(info);
         }
     }

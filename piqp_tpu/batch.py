@@ -23,7 +23,7 @@ import numpy as np
 from jax import lax
 
 from . import ruiz, solver
-from .api import prepare_data
+from .api import _route_backend, prepare_data
 from .types import QPData, Result, Settings
 
 
@@ -87,6 +87,7 @@ def solve_batch(
     ``_solve_batch_chunked``); throughput is unchanged for compute-bound
     configs while the per-dispatch working set stays bounded.
     """
+    data = _route_backend(data, settings)
     if sharding is not None:
         data = jax.device_put(data, sharding)
     B = data.c.shape[0]

@@ -483,15 +483,24 @@ def _chunked_solve(factors, vs_flat, vg, T, D, Da):
 # recurses.  Sequential depth drops from ~2*sqrt(T) scan steps (two-level
 # chunked scheme above) to log2(T) batched levels, each one MXU-shaped.
 # On SPD systems this is block Cholesky under a nested-dissection
-# permutation, so stability matches the sequential recursion.  Selected
-# for power-of-two horizons T >= _CR_MIN_T (long-horizon MPC is typically
-# built at T = 128/256/512); other sizes use the chunked scheme.
+# permutation, so stability matches the sequential recursion.
+#
+# Scheme selection (pinned by test_multistage.py::test_scheme_selection):
+#   T < 16            -> sequential chain scan (latency fine at tiny T)
+#   16 <= T <= 256    -> cyclic reduction (any parity; ~2x faster than
+#                        chunked at T=128 on v5e)
+#   T > 256           -> two-level chunked: CR unrolls log2(T) distinctly
+#                        shaped batched levels and its XLA compile time
+#                        blows up on long horizons (T=512 exceeded 1400s
+#                        on the tunnel compiler), while chunked stays at
+#                        two scans regardless of T.
 
 _CR_MIN_T = 16
+_CR_MAX_T = 256
 
 
 def _use_cr(T: int) -> bool:
-    return T >= _CR_MIN_T
+    return _CR_MIN_T <= T <= _CR_MAX_T
 
 
 def _bsolve(L, B):
@@ -619,8 +628,9 @@ def _cr_empty(T, D, Da, dt):
 def _(data: StageQPData, ks, mixed: bool = False, pre=None):
     """Block Cholesky of the tridiagonal+arrow condensed matrix: a scan
     over stages for short horizons (the reference's sequential recursion,
-    multistage_kkt.hpp:1253-1352), two-level chunked for long ones,
-    cyclic reduction for long power-of-two ones."""
+    multistage_kkt.hpp:1253-1352), cyclic reduction for medium horizons
+    (16 <= T <= 256, any parity), two-level chunked beyond that (see the
+    scheme-selection note above _use_cr)."""
     Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
     if mixed:
         f32 = jnp.float32
@@ -1155,12 +1165,15 @@ def from_sparse(
         x_l=xl_f, x_u=xu_f, dtype=dtype,
     )
 
-    # Pad the horizon to a chunkable length: the factorization's two-level
-    # scheme needs a divisor C ~ sqrt(T), and prime horizons (chain_mass has
-    # T=41) would otherwise fall back to the latency-bound sequential scan.
-    # Padded stages are decoupled identity sub-problems (see
-    # parallel.pad_stages); arrow coordinates shift by (T_pad - T) * D.
-    T_pad = _next_chunkable(T)
+    # Pad the horizon to a chunkable length — but only when the chunked
+    # scheme is actually selected (T > _CR_MAX_T): cyclic reduction handles
+    # any horizon length, so padding there would just add wasted stages and
+    # an unnecessary arrow-coordinate shift.  The two-level scheme needs a
+    # divisor C ~ sqrt(T); prime horizons would otherwise fall back to the
+    # latency-bound sequential scan.  Padded stages are decoupled identity
+    # sub-problems (see parallel.pad_stages); arrow coordinates shift by
+    # (T_pad - T) * D.
+    T_pad = T if _use_cr(T) else _next_chunkable(T)
     if T_pad != T:
         from .parallel.horizon import pad_stages
 

@@ -365,12 +365,12 @@ def _violation_certificate(data, sc, vars: Vars):
     dz_bu = jnp.where(data.xu_mask, jnp.maximum(bx - data.x_u / sc.d_b, 0.0), 0.0)
     dz_bl = jnp.where(data.xl_mask, jnp.maximum(data.x_l / sc.d_b - bx, 0.0), 0.0)
 
-    # unscaled-matvec identities: A_u' w = [A_s' (w/d_y)] * d_x, etc.
-    t = ops.AT_y(data, dy / sc.d_y) * sc.d_x if data.p > 0 else jnp.zeros_like(x)
-    den = ops.AT_y(adata, jnp.abs(dy) / sc.d_y) * sc.d_x if data.p > 0 else jnp.zeros_like(x)
+    # unscaled-matvec identities: A_s = D_y A D_x  =>  A' w = [A_s' (w/d_y)] / d_x
+    t = ops.AT_y(data, dy / sc.d_y) / sc.d_x if data.p > 0 else jnp.zeros_like(x)
+    den = ops.AT_y(adata, jnp.abs(dy) / sc.d_y) / sc.d_x if data.p > 0 else jnp.zeros_like(x)
     if data.m > 0:
-        t = t + ops.GT_z(data, (dz_u - dz_l) / sc.d_z) * sc.d_x
-        den = den + ops.GT_z(adata, (dz_u + dz_l) / sc.d_z) * sc.d_x
+        t = t + ops.GT_z(data, (dz_u - dz_l) / sc.d_z) / sc.d_x
+        den = den + ops.GT_z(adata, (dz_u + dz_l) / sc.d_z) / sc.d_x
     t = t + dz_bu - dz_bl
     den = den + dz_bu + dz_bl
     eq_rel = _inf_norm(t) / jnp.maximum(jnp.max(den, initial=0.0), _TINY)

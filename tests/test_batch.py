@@ -81,3 +81,20 @@ def test_batched_multistage_scenarios():
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     res = solve_batch(batch)
     assert np.all(np.asarray(res.info.status) == 1)
+
+
+def test_batch_honors_kkt_solver_setting():
+    """solve_batch must route Settings(kkt_solver=dense_lu) to the
+    full-KKT backend, same as solve_prepared (ADVICE r1: it was silently
+    ignored in batch mode)."""
+    from piqp_tpu import KKTBackend
+    from piqp_tpu.types import FullKKTQPData
+
+    probs = [dense_strongly_convex_qp(8, 2, 4, seed=s) for s in range(3)]
+    data = prepare_batch(probs)
+    st = Settings(kkt_solver=KKTBackend.dense_lu)
+    from piqp_tpu.batch import _route_backend
+
+    assert type(_route_backend(data, st)) is FullKKTQPData
+    res = solve_batch(data, settings=st)
+    assert all(int(s) == Status.SOLVED for s in np.asarray(res.info.status))

@@ -272,3 +272,51 @@ def test_cyclic_reduction_end_to_end():
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(res_d.x), rtol=1e-6, atol=1e-7
     )
+
+
+def test_scheme_selection():
+    """Pin the factorization-scheme boundaries: sequential scan below
+    T=16, cyclic reduction (any parity) for 16 <= T <= 256, two-level
+    chunked beyond (CR compile cost grows with log2(T) distinctly shaped
+    levels; chunked stays at two scans)."""
+    assert not ms._use_cr(15)
+    assert ms._use_cr(16)
+    assert ms._use_cr(41)  # odd horizons handled by CR, no padding
+    assert ms._use_cr(256)
+    assert not ms._use_cr(257)
+    assert ms._chunk_count(300) is not None  # chunked picks up past CR
+    assert ms._chunk_count(15) is None
+
+
+def test_chunked_scheme_end_to_end():
+    """T > _CR_MAX_T routes to the two-level chunked factorization; the
+    solve must still match the optimality system."""
+    old = ms._CR_MAX_T
+    ms._CR_MAX_T = 32  # force the chunked path at a CPU-testable horizon
+    try:
+        T = 36  # chunkable: C=6, Q=6
+        assert not ms._use_cr(T) and ms._chunk_count(T) is not None
+        sdata = ms.random_multistage_qp(T=T, D=3, Da=2, ra=2, rg=2, seed=5)
+        res = solve_prepared(sdata)
+        assert int(res.info.status) == Status.SOLVED
+    finally:
+        ms._CR_MAX_T = old
+
+
+def test_odd_horizon_no_padding():
+    """CR handles odd T directly: from_sparse must not pad the horizon
+    (the pre-round-2 code padded chain_mass T=41 -> 42 for a chunked
+    scheme that was never selected)."""
+    sdata0 = ms.random_multistage_qp(T=17, D=3, Da=2, ra=2, rg=2, seed=31)
+    dense = ms.to_dense(sdata0)
+    import scipy.sparse as sp
+
+    P = sp.csc_matrix(np.asarray(dense.P))
+    A = sp.csc_matrix(np.asarray(dense.A))
+    G = sp.csc_matrix(np.asarray(dense.G))
+    sdata, layout = ms.from_sparse(
+        P, np.asarray(dense.c), A, np.asarray(dense.b),
+        G, np.asarray(dense.h_l), np.asarray(dense.h_u),
+        np.asarray(dense.x_l), np.asarray(dense.x_u),
+    )
+    assert sdata.T == 17, f"horizon padded to {sdata.T}"

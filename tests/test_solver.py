@@ -206,3 +206,50 @@ def test_certificate_validation_toggle():
         res = solve_dense(P, c, A, b, G, None, h,
                           settings=Settings(verify_certificates=vc))
         assert int(res.info.status) == Status.PRIMAL_INFEASIBLE, vc
+
+
+def test_violation_certificate_matches_host_under_scaling():
+    """The device _violation_certificate must score the same (unscaled) ray
+    quality as the host twin hostsparse._primal_ray_quality on fully
+    unscaled data, even with nontrivial Ruiz scaling and active box bounds
+    (the unscale identity divides by d_x: A_s = D_y A D_x)."""
+    import jax.numpy as jnp
+
+    from piqp_tpu import hostsparse, ruiz, solver as solver_mod
+    from piqp_tpu.api import prepare_data
+    from piqp_tpu.types import Vars
+
+    rng = np.random.default_rng(0)
+    n, p, m = 6, 2, 4
+    P = np.diag(10.0 ** rng.uniform(-3, 3, n))
+    c = rng.normal(size=n) * 10.0 ** rng.uniform(-2, 2, n)
+    A = rng.normal(size=(p, n)) * 10.0 ** rng.uniform(-2, 2, (p, 1))
+    b = rng.normal(size=p)
+    G = rng.normal(size=(m, n)) * 10.0 ** rng.uniform(-2, 2, (m, 1))
+    h_l = -np.abs(rng.normal(size=m))
+    h_u = np.abs(rng.normal(size=m))
+    x_l = np.full(n, -2.0)
+    x_u = np.full(n, 2.0)
+
+    data = prepare_data(P, c, A, b, G, h_l, h_u, x_l, x_u)
+    sdata, sc = ruiz.equilibrate(data, max_iter=10, scale_cost=False)
+    assert float(jnp.max(jnp.abs(sc.d_x - 1.0))) > 0.1  # scaling nontrivial
+
+    x = rng.normal(size=n) * 3.0  # violates bounds/inequalities generically
+    x_s = jnp.asarray(x) / sc.d_x
+    z = lambda k: jnp.zeros(k, x_s.dtype)
+    v = Vars(x_s, z(p), z(m), z(m), z(n), z(n), z(m), z(m), z(n), z(n))
+    ray_dev, eq_dev, sup_dev, norm_dev = solver_mod._violation_certificate(
+        sdata, sc, v
+    )
+
+    d0 = hostsparse.prepare_sparse(P, c, A, b, G, h_l, h_u, x_l, x_u)
+    ray_host = hostsparse._violation_primal_ray(d0, x)
+    eq_h, neg_h, sup_h = hostsparse._primal_ray_quality(d0, *ray_host)
+
+    assert float(eq_dev) == pytest.approx(float(eq_h), rel=1e-8)
+    assert float(sup_dev) == pytest.approx(float(sup_h), rel=1e-8)
+    nh = max(np.abs(r).max(initial=0.0) for r in ray_host)
+    assert float(norm_dev) == pytest.approx(nh, rel=1e-8)
+    np.testing.assert_allclose(np.asarray(ray_dev[0]), ray_host[0],
+                               rtol=1e-8, atol=1e-12)
