@@ -1,0 +1,98 @@
+"""North-star metric (BASELINE config 2): aggregate QP-solves/sec for 1024
+dense strongly-convex QPs, solved batched (vmap) on the accelerator, versus
+the single-core reference solver on identical problem data.
+
+Usage:  python benchmarks/northstar_bench.py <dim> [B] [chunk] [mixed]
+
+Runs ONE config and prints one JSON line — the caller (bench.py) runs each
+config in a fresh subprocess because the tunneled axon runtime degrades
+per-process as executables accumulate.
+
+Problem data: piqp_tpu.utils.random.dense_strongly_convex_qp with
+n_eq = n_ineq = dim/2, seeds 1000..1000+B-1 — byte-identical to what
+benchmarks/make_batch.py feeds the reference driver (ref_driver.cpp).
+
+Tunnel timing rules (see docs/performance.md):
+  - all host->device uploads happen BEFORE the first dispatch (interleaving
+    transfers with large-executable dispatches faults the device);
+  - every timed region ends with a device->host readback (np.asarray) —
+    block_until_ready can return early on this runtime;
+  - dispatches are chunked (default 256/chunk) to stay inside the
+    per-dispatch envelope.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/tests/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from piqp_tpu import Settings
+from piqp_tpu.batch import _solve_batch_jit, prepare_batch
+from benchmarks.make_batch import batch_problems
+
+
+def main():
+    dim = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    mixed = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+
+    settings = Settings(mixed_precision=mixed)
+    problems = batch_problems(dim, B)
+
+    # stack on host, then upload all chunks (and the perturbed-c warm
+    # copies) before any dispatch
+    bdata = prepare_batch(problems)
+    chunks = [
+        jax.device_put(jax.tree.map(lambda x: x[s:s + chunk], bdata))
+        for s in range(0, B, chunk)
+    ]
+    warm_chunks = [
+        jax.device_put(d.replace(c=d.c * 1.01)) for d in chunks
+    ]
+    for d in chunks + warm_chunks:
+        jax.block_until_ready(d)
+
+    # warmup/compile on the first chunk, completion via readback
+    res = _solve_batch_jit(chunks[0], settings, True)
+    np.asarray(res.x)
+
+    def sweep(datas):
+        t0 = time.perf_counter()
+        outs = [_solve_batch_jit(d, settings, True) for d in datas]
+        for r in outs:
+            np.asarray(r.x)  # readback barrier
+        dt = time.perf_counter() - t0
+        solved = sum(int(jnp.sum(r.info.status == 1)) for r in outs)
+        iters = max(int(jnp.max(r.info.iter)) for r in outs)
+        return dt, solved, iters
+
+    cold_dt, cold_solved, iters = sweep(chunks)
+    warm_dt, warm_solved, _ = sweep(warm_chunks)
+    # repeat warm once more and take the best (tunnel jitter)
+    warm_dt2, _, _ = sweep(warm_chunks)
+    warm_dt = min(warm_dt, warm_dt2)
+
+    print(json.dumps(dict(
+        dim=dim, B=B, chunk=chunk, mixed=mixed,
+        device=str(jax.devices()[0]),
+        cold_s=round(cold_dt, 4), warm_s=round(warm_dt, 4),
+        cold_qps_per_s=round(B / cold_dt, 1),
+        warm_qps_per_s=round(B / warm_dt, 1),
+        solved=cold_solved, warm_solved=warm_solved, max_iters=iters,
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,7 +86,122 @@ int main(void)
         return 1;
     }
 
+    /* full info mirror is populated */
+    if (res.info.status != 1 || res.info.iter <= 0 ||
+        res.info.primal_res > 1e-8) {
+        fprintf(stderr, "info mirror wrong\n");
+        return 1;
+    }
+
+    /* settings round-trip */
+    piqp_tpu_settings got;
+    if (piqp_tpu_get_settings(w, &got) != 0 ||
+        !approx(got.eps_abs, settings.eps_abs, 0) ||
+        got.max_iter != settings.max_iter || got.tau != settings.tau) {
+        fprintf(stderr, "settings round-trip failed\n");
+        return 1;
+    }
+    settings.compute_timings = 1;
+    if (piqp_tpu_update_settings(w, &settings) != 0) {
+        fprintf(stderr, "update_settings failed: %s\n",
+                piqp_tpu_last_error());
+        return 1;
+    }
+    status = piqp_tpu_solve(w);
+    piqp_tpu_get_result(w, &res);
+    if (status != 1 || res.info.solve_time <= 0.0) {
+        fprintf(stderr, "compute_timings via update_settings failed\n");
+        return 1;
+    }
+
     piqp_tpu_free(w);
+
+    /* ---- sparse (CSC) interface: same QP plus an inequality ---- */
+    /* P = diag(6, 4) in CSC upper-tri; A = [1, -2]; G = [1, 0] with
+     * -inf <= x0 <= 0.8 */
+    {
+        int Pp[3] = {0, 1, 2};
+        int Pi[2] = {0, 1};
+        double Px[2] = {6.0, 4.0};
+        piqp_tpu_csc Pm = {2, 2, 2, Pp, Pi, Px};
+
+        int Ap[3] = {0, 1, 2};
+        int Ai[2] = {0, 0};
+        double Ax[2] = {1.0, -2.0};
+        piqp_tpu_csc Am = {1, 2, 2, Ap, Ai, Ax};
+
+        int Gp[3] = {0, 1, 1};
+        int Gi[1] = {0};
+        double Gx[1] = {1.0};
+        piqp_tpu_csc Gm = {1, 2, 1, Gp, Gi, Gx};
+
+        double h_l[1] = {-PIQP_TPU_INF};
+        double h_u[1] = {0.8};
+
+        piqp_tpu_sparse_data sd = {0};
+        sd.P = &Pm;
+        sd.c = c;
+        sd.A = &Am;
+        sd.b = b;
+        sd.G = &Gm;
+        sd.h_l = h_l;
+        sd.h_u = h_u;
+        sd.n = 2;
+        sd.p = 1;
+        sd.m = 1;
+
+        piqp_tpu_settings_default(&settings);
+        piqp_tpu_workspace* ws = piqp_tpu_setup_sparse(&sd, &settings);
+        if (!ws) {
+            fprintf(stderr, "sparse setup failed: %s\n",
+                    piqp_tpu_last_error());
+            return 1;
+        }
+        status = piqp_tpu_solve(ws);
+        if (status != 1) {
+            fprintf(stderr, "sparse solve failed: status=%d (%s)\n", status,
+                    piqp_tpu_last_error());
+            return 1;
+        }
+        piqp_tpu_result rs;
+        piqp_tpu_get_result(ws, &rs);
+        printf("sparse x = [%f, %f]\n", rs.x[0], rs.x[1]);
+        /* inequality inactive at the optimum (x0 = 3/7 < 0.8): same
+         * solution as the dense equality-only QP */
+        if (!approx(rs.x[0], 3.0 / 7.0, 1e-6) ||
+            !approx(rs.x[1], 3.0 / 14.0, 1e-6)) {
+            fprintf(stderr, "wrong sparse solution\n");
+            return 1;
+        }
+        /* slack view present: s_l/s_u sized m */
+        if (rs.s_u == NULL) {
+            fprintf(stderr, "missing slack views\n");
+            return 1;
+        }
+
+        /* sparse value update: tighten h_u so the inequality becomes
+         * active -> x0 pinned at 0.2 */
+        double h_u2[1] = {0.2};
+        piqp_tpu_sparse_data su = {0};
+        su.h_u = h_u2;
+        su.n = 2;
+        su.p = 0;
+        su.m = 1;
+        if (piqp_tpu_update_sparse(ws, &su) != 0) {
+            fprintf(stderr, "sparse update failed: %s\n",
+                    piqp_tpu_last_error());
+            return 1;
+        }
+        status = piqp_tpu_solve(ws);
+        piqp_tpu_get_result(ws, &rs);
+        if (status != 1 || !approx(rs.x[0], 0.2, 1e-6)) {
+            fprintf(stderr, "sparse update wrong: status=%d x0=%f\n", status,
+                    rs.x[0]);
+            return 1;
+        }
+        piqp_tpu_free(ws);
+    }
+
     printf("C interface test passed\n");
     return 0;
 }

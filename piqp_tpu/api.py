@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import ruiz, solver
+from . import kkt, ruiz, solver
 from .types import (
     PIQP_INF,
     FullKKTQPData,
@@ -65,6 +65,31 @@ def _as_1d(v, size, dtype, fill):
     if v.shape != (size,):
         raise ValueError(f"expected shape {(size,)}, got {v.shape}")
     return v
+
+
+def _canon_bounds(h_l, h_u, x_l, x_u):
+    """Shared bound canonicalization: masks from the PIQP_INF convention
+    (dense/data.hpp:100-142), dead-row fake bounds [-1, 1]
+    (disable_inf_constraints, dense/data.hpp:144-169), exact zeros at
+    inactive entries.  Returns the canonicalized vectors, the four masks and
+    the dead-row mask (caller zeroes G rows)."""
+    hl_mask = h_l > -PIQP_INF
+    hu_mask = h_u < PIQP_INF
+    dead = ~hl_mask & ~hu_mask
+    if dead.any():
+        h_l = np.where(dead, -1.0, h_l)
+        h_u = np.where(dead, 1.0, h_u)
+        hl_mask = h_l > -PIQP_INF
+        hu_mask = h_u < PIQP_INF
+
+    xl_mask = x_l > -PIQP_INF
+    xu_mask = x_u < PIQP_INF
+
+    h_l = np.where(hl_mask, h_l, 0.0)
+    h_u = np.where(hu_mask, h_u, 0.0)
+    x_l = np.where(xl_mask, x_l, 0.0)
+    x_u = np.where(xu_mask, x_u, 0.0)
+    return h_l, h_u, x_l, x_u, hl_mask, hu_mask, xl_mask, xu_mask, dead
 
 
 def prepare_data(
@@ -112,27 +137,13 @@ def prepare_data(
     x_l = _as_1d(x_l, n, np_dtype, -np.inf)
     x_u = _as_1d(x_u, n, np_dtype, np.inf)
 
-    hl_mask = h_l > -PIQP_INF
-    hu_mask = h_u < PIQP_INF
-
-    # disable_inf_constraints (dense/data.hpp:144-169)
-    dead = ~hl_mask & ~hu_mask
+    h_l, h_u, x_l, x_u, hl_mask, hu_mask, xl_mask, xu_mask, dead = (
+        _canon_bounds(h_l, h_u, x_l, x_u)
+    )
     if dead.any():
+        # disable_inf_constraints (dense/data.hpp:144-169)
         G = G.copy()
         G[dead, :] = 0.0
-        h_l = np.where(dead, -1.0, h_l)
-        h_u = np.where(dead, 1.0, h_u)
-        hl_mask = h_l > -PIQP_INF
-        hu_mask = h_u < PIQP_INF
-
-    xl_mask = x_l > -PIQP_INF
-    xu_mask = x_u < PIQP_INF
-
-    # inactive entries hold exact zeros (see types.py)
-    h_l = np.where(hl_mask, h_l, 0.0)
-    h_u = np.where(hu_mask, h_u, 0.0)
-    x_l = np.where(xl_mask, x_l, 0.0)
-    x_u = np.where(xu_mask, x_u, 0.0)
 
     return QPData(
         P=jnp.asarray(P_full),
@@ -228,6 +239,7 @@ class DenseSolver:
         self._data: Optional[QPData] = None
         self._scaling: Optional[Scaling] = None
         self._result: Optional[Result] = None
+        self._cone = True
         self._first_run = True
         self._setup_time = 0.0
         self._update_time = 0.0
@@ -242,15 +254,36 @@ class DenseSolver:
         self._data = prepare_data(
             P, c, A, b, G, h_l, h_u, x_l, x_u, dtype=self.settings.jnp_dtype
         )
+        # cone dispatch flag computed once here (setup is analysis time);
+        # the warm solve path must not pay a device->host sync per call
+        self._cone = has_cone(self._data)
+        # dead-row pattern (disable_inf_constraints) cached for the
+        # selective update path
+        np_dtype = np.dtype(self.settings.jnp_dtype.name)
+        m = self._data.m
+        hl = _as_1d(h_l, m, np_dtype, -np.inf)
+        hu = _as_1d(h_u, m, np_dtype, np.inf)
+        self._dead = ~(hl > -PIQP_INF) & ~(hu < PIQP_INF)
         self._scaling = None
         self._first_run = True
         self._setup_time = time.perf_counter() - t0
 
     def update(self, P=None, c=None, A=None, b=None, G=None, h_l=None,
                h_u=None, x_l=None, x_u=None) -> None:
-        """Update problem data in place (solver.hpp:218-308).  Shapes must
+        """Update problem data in place (solver.hpp:218-359).  Shapes must
         match the setup call; the compiled solve is reused without
-        retracing."""
+        retracing, and ONLY the changed leaves are canonicalized and
+        re-uploaded:
+
+        - vector-only updates (c/b/h_l/h_u/x_l/x_u) replace just those
+          device vectors — the O(n^2) matrices stay resident on device
+          (the analog of the reference's matrices-unchanged fast path);
+        - matrix updates canonicalize and upload only the named matrices.
+
+        Replaced leaves drop their last reference here, so the old device
+        buffers are freed immediately (the allocation story of
+        solver.hpp:218-308: update never grows the footprint).
+        """
         if self._data is None:
             raise RuntimeError("Solver not setup yet")
         t0 = time.perf_counter()
@@ -259,9 +292,60 @@ class DenseSolver:
         for k, v in updates.items():
             if v is not None:
                 self._raw[k] = v
-        self._data = prepare_data(
-            **self._raw, dtype=self.settings.jnp_dtype
+
+        d = self._data
+        np_dtype = np.dtype(self.settings.jnp_dtype.name)
+        n, p, m = d.n, d.p, d.m
+        new = {}
+
+        bounds_changed = any(
+            updates[k] is not None for k in ("h_l", "h_u", "x_l", "x_u")
         )
+        if bounds_changed or updates["G"] is not None:
+            hl = _as_1d(self._raw.get("h_l"), m, np_dtype, -np.inf)
+            hu = _as_1d(self._raw.get("h_u"), m, np_dtype, np.inf)
+            xl = _as_1d(self._raw.get("x_l"), n, np_dtype, -np.inf)
+            xu = _as_1d(self._raw.get("x_u"), n, np_dtype, np.inf)
+            hl, hu, xl, xu, hl_m, hu_m, xl_m, xu_m, dead = _canon_bounds(
+                hl, hu, xl, xu
+            )
+            old_dead = getattr(self, "_dead", None)
+            self._dead = dead
+            new.update(
+                h_l=jnp.asarray(hl), h_u=jnp.asarray(hu),
+                x_l=jnp.asarray(xl), x_u=jnp.asarray(xu),
+                hl_mask=jnp.asarray(hl_m), hu_mask=jnp.asarray(hu_m),
+                xl_mask=jnp.asarray(xl_m), xu_mask=jnp.asarray(xu_m),
+            )
+            if updates["G"] is None and (
+                old_dead is None or not np.array_equal(dead, old_dead)
+            ):
+                # the bound update changed the dead-row pattern: the
+                # resident G's zeroed rows are stale -> re-canonicalize G
+                updates["G"] = self._raw.get("G")
+
+        if updates["P"] is not None:
+            Pm = np.asarray(updates["P"], dtype=np_dtype)
+            if Pm.shape != (n, n):
+                raise ValueError(f"expected shape {(n, n)}, got {Pm.shape}")
+            new["P"] = jnp.asarray(np.triu(Pm) + np.triu(Pm, 1).T)
+        if updates["A"] is not None:
+            new["A"] = jnp.asarray(_as_2d(updates["A"], p, n, np_dtype))
+        if updates["G"] is not None:
+            Gm = _as_2d(updates["G"], m, n, np_dtype)
+            dead = getattr(self, "_dead", None)
+            if dead is not None and dead.any():
+                Gm = Gm.copy()
+                Gm[dead, :] = 0.0
+            new["G"] = jnp.asarray(Gm)
+        if updates["c"] is not None:
+            new["c"] = jnp.asarray(_as_1d(updates["c"], n, np_dtype, 0.0))
+        if updates["b"] is not None:
+            new["b"] = jnp.asarray(_as_1d(updates["b"], p, np_dtype, 0.0))
+
+        self._data = d.replace(**new)
+        if bounds_changed:
+            self._cone = has_cone(self._data)
         matrices_changed = any(updates[k] is not None for k in ("P", "A", "G"))
         if not (self.settings.preconditioner_reuse_on_update or not matrices_changed):
             self._scaling = None  # recompute Ruiz on next solve
@@ -281,7 +365,7 @@ class DenseSolver:
             self._print_header()
 
         data = _route_backend(self._data, self.settings)
-        cone = has_cone(data)
+        cone = self._cone
         t0 = time.perf_counter()
         if self._scaling is None or not self.settings.preconditioner_reuse_on_update:
             result, sc = _solve_fresh(data, self.settings, cone)
@@ -291,21 +375,28 @@ class DenseSolver:
         result = jax.block_until_ready(result)
         solve_time = time.perf_counter() - t0
 
-        self._result = result
         self._solve_time = solve_time
         if self.settings.compute_timings:
-            # host-side timing mirror of Info's timing fields
-            # (results.hpp:83-88); per-phase device timings require a
-            # profiler trace and are reported as 0 here.
-            info = result.info
-            info.setup_time = self._setup_time
-            info.update_time = self._update_time
-            info.solve_time = solve_time
-            info.kkt_factor_time = 0.0
-            info.kkt_solve_time = 0.0
-            info.run_time = (
-                self._setup_time if self._first_run else self._update_time
-            ) + solve_time
+            # fill the timing leaves of Info (results.hpp:83-88) host-side;
+            # kkt_factor_time / kkt_solve_time are estimated from separately
+            # timed warm dispatches scaled by dispatch counts.
+            t_factor, t_solve = _measure_kkt_times(
+                data, self.settings,
+                int(result.info.iter), int(result.info.factor_retires),
+            )
+            f = lambda v: jnp.asarray(v, result.info.rho.dtype)
+            result = result.replace(info=result.info.replace(
+                setup_time=f(self._setup_time),
+                update_time=f(self._update_time),
+                solve_time=f(solve_time),
+                kkt_factor_time=f(t_factor),
+                kkt_solve_time=f(t_solve),
+                run_time=f(
+                    (self._setup_time if self._first_run else self._update_time)
+                    + solve_time
+                ),
+            ))
+        self._result = result
         self._first_run = False
         status = Status(int(result.info.status))
         if self.settings.verbose:
@@ -333,6 +424,74 @@ class DenseSolver:
         if self._result is None:
             raise RuntimeError("No solve has been performed yet")
         return self._result
+
+
+@partial(jax.jit, static_argnames=("settings", "mixed"))
+def _probe_factored_state(data, settings: Settings, mixed: bool):
+    """Build a representative KKTState (cold-start scalings) and factor it
+    once — the untimed setup for the timing probes below."""
+    from . import ops
+    from .types import Vars
+
+    dt = data.c.dtype
+    masked_one = lambda mask: jnp.where(mask, 1.0, 0.0).astype(dt)
+    v = Vars(
+        x=jnp.zeros(data.n, dt), y=jnp.zeros(data.p, dt),
+        z_l=masked_one(data.hl_mask), z_u=masked_one(data.hu_mask),
+        z_bl=masked_one(data.xl_mask), z_bu=masked_one(data.xu_mask),
+        s_l=masked_one(data.hl_mask), s_u=masked_one(data.hu_mask),
+        s_bl=masked_one(data.xl_mask), s_bu=masked_one(data.xu_mask),
+    )
+    with jax.default_matmul_precision("highest"):
+        ks = kkt.compute_scalings(
+            data, settings, v,
+            jnp.asarray(settings.rho_init, dt),
+            jnp.asarray(settings.delta_init, dt),
+            jnp.asarray(False),
+            ops.P_diag(data),
+        )
+        pre = kkt.precompute(data)
+        ks, _ = kkt.factor(data, ks, mixed, pre)
+    return ks, v
+
+
+@partial(jax.jit, static_argnames=("settings", "mixed"))
+def _probe_factor(data, settings: Settings, ks, mixed: bool):
+    with jax.default_matmul_precision("highest"):
+        pre = kkt.precompute(data)
+        ks2, ok = kkt.factor(data, ks, mixed, pre)
+    return jnp.sum(jax.tree.leaves(ks2.L)[0][..., 0])
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _probe_solve(data, settings: Settings, ks, rhs):
+    with jax.default_matmul_precision("highest"):
+        lhs, ok = kkt.solve(data, settings, ks, rhs)
+    return jnp.sum(lhs.x)
+
+
+def _measure_kkt_times(data, settings: Settings, iters: int, retries: int):
+    """Estimate cumulative KKT factor/solve device time (results.hpp:87-88)
+    by timing one warm dispatch of each phase and scaling by the dispatch
+    counts of the IPM run: iters+1+retries factorizations, 2*iters+1 KKT
+    solves (init + predictor + corrector).  Timing uses a host readback as
+    the completion barrier (block_until_ready under-reports on some remote
+    runtimes)."""
+    mixed = bool(settings.mixed_precision)
+    try:
+        ks, rhs = _probe_factored_state(data, settings, mixed)
+        # warmup (compile) then timed dispatch, per phase
+        np.asarray(_probe_factor(data, settings, ks, mixed))
+        t0 = time.perf_counter()
+        np.asarray(_probe_factor(data, settings, ks, mixed))
+        t_factor = time.perf_counter() - t0
+        np.asarray(_probe_solve(data, settings, ks, rhs))
+        t0 = time.perf_counter()
+        np.asarray(_probe_solve(data, settings, ks, rhs))
+        t_solve = time.perf_counter() - t0
+    except (NotImplementedError, TypeError):
+        return 0.0, 0.0
+    return t_factor * (iters + 1 + retries), t_solve * (2 * iters + 1)
 
 
 def _invalid_info(settings: Settings):

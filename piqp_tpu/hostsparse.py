@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 
 import numpy as np
 import scipy.sparse as sp
@@ -119,6 +120,13 @@ class HostInfo:
     dual_res_reg_rel: float = np.inf
     primal_prox_inf: float = 0.0
     dual_prox_inf: float = 0.0
+    # wall-time metrics (results.hpp:83-88); filled by the API wrapper
+    setup_time: float = 0.0
+    update_time: float = 0.0
+    solve_time: float = 0.0
+    kkt_factor_time: float = 0.0
+    kkt_solve_time: float = 0.0
+    run_time: float = 0.0
 
 
 def prepare_sparse(
@@ -260,6 +268,22 @@ class _KKT:
         # trajectories bit-identical while recovering the hard ones.
         self.refine = True
         self.refine_stalled = False
+        # exact cumulative phase timers (results.hpp:87-88); instance
+        # attributes shadow the methods with timed wrappers
+        self.factor_time = 0.0
+        self.solve_time = 0.0
+        self.factor = self._timed(self.factor, "factor_time")
+        self.solve = self._timed(self.solve, "solve_time")
+
+    def _timed(self, fn, attr):
+        def wrapper(*a, **k):
+            t0 = time.perf_counter()
+            try:
+                return fn(*a, **k)
+            finally:
+                setattr(self, attr, getattr(self, attr) + time.perf_counter() - t0)
+
+        return wrapper
 
     def compute_scalings(self, v, rho, delta, use_ir):
         d, s = self.data, self
@@ -632,6 +656,13 @@ def solve_host(
     )
     reg_limit = settings.reg_lower_limit
     kkt = _KKT(d, settings)
+    t_start = time.perf_counter()
+
+    def _fill_times():
+        info.solve_time = time.perf_counter() - t_start
+        info.run_time = info.solve_time
+        info.kkt_factor_time = kkt.factor_time
+        info.kkt_solve_time = kkt.solve_time
 
     one_ml = np.where(d.hl_mask, 1.0, 0.0)
     one_mu = np.where(d.hu_mask, 1.0, 0.0)
@@ -676,6 +707,7 @@ def solve_host(
 
     if not factor_ladder():
         info.status = int(Status.NUMERICS)
+        _fill_times()
         return _finalize_host(d, sc, v, info)
 
     # first solve from raw problem vectors (solver.hpp:473-492)
@@ -1122,6 +1154,7 @@ def solve_host(
             if viol_rel > 1e2 * settings.eps_abs:
                 _try(ray, check_sup=False)
 
+    _fill_times()
     return result
 
 

@@ -132,19 +132,24 @@ def compute_scalings(
         x_reg=x_reg + reg,
         z_reg=z_reg,
         z_reg_fact=z_reg + reg,
-        L=empty_factor(data),
+        L=empty_factor(data, settings),
         use_ir=jnp.asarray(use_ir, bool),
     )
 
 
 @singledispatch
-def empty_factor(data):
-    """Placeholder for the backend factor pytree (filled by ``factor``)."""
+def empty_factor(data, settings: Settings = None):
+    """Placeholder for the backend factor pytree (filled by ``factor``).
+    The placeholder's pytree STRUCTURE selects the factor representation:
+    a (L, Linv) tuple routes the dense backend to the Pallas
+    cholesky-with-inverse kernel (settings.pallas_kernels)."""
     raise NotImplementedError(type(data))
 
 
 @empty_factor.register
-def _(data: QPData):
+def _(data: QPData, settings: Settings = None):
+    if settings is not None and settings.pallas_kernels:
+        return (jnp.zeros_like(data.P), jnp.zeros_like(data.P))
     return jnp.zeros_like(data.P)
 
 
@@ -199,7 +204,36 @@ def factor(
 def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False, pre=None):
     """Cholesky-factor the condensed matrix; ok=False when the factorization
     produced non-finite values (XLA's cholesky yields NaNs where Eigen's LLT
-    reports failure, dense/kkt.hpp:82-83)."""
+    reports failure, dense/kkt.hpp:82-83).
+
+    When ks.L is an (L, Linv) tuple placeholder (settings.pallas_kernels),
+    the factorization runs through the Pallas cholesky-with-inverse kernel
+    (ops/pallas_chol.py) and solves become GEMMs against Linv."""
+    if isinstance(ks.L, tuple):
+        from .ops.pallas_chol import cholesky_with_inverse
+
+        dt = jnp.float32 if mixed else data.P.dtype
+        dd = data.replace(
+            P=data.P.astype(dt), A=data.A.astype(dt), G=data.G.astype(dt)
+        )
+        ks_f = ks.replace(
+            x_reg=ks.x_reg.astype(dt),
+            z_reg_fact=ks.z_reg_fact.astype(dt),
+            delta_reg=ks.delta_reg.astype(dt),
+        )
+        K = assemble_condensed(dd, ks_f, pre)
+        # Jacobi-scale to unit diagonal (exact: chol(K) = D chol(Ks)); see
+        # the mixed branch below for the conditioning rationale
+        dK = jnp.sqrt(jnp.maximum(jnp.diagonal(K), jnp.asarray(1e-30, dt)))
+        dinv = 1.0 / dK
+        Ks = K * dinv[:, None] * dinv[None, :]
+        Ls, Lsinv = cholesky_with_inverse(Ks)
+        L = Ls * dK[:, None]
+        Linv = Lsinv * dinv[None, :]
+        ok = jnp.logical_and(
+            jnp.all(jnp.isfinite(L)), jnp.all(jnp.isfinite(Linv))
+        )
+        return ks.replace(L=(L, Linv)), ok
     if mixed:
         f32 = jnp.float32
         data = data.replace(
@@ -238,6 +272,11 @@ def condensed_solve_x(data, ks: KKTState, v):
 
 @condensed_solve_x.register
 def _(data: QPData, ks: KKTState, v):
+    if isinstance(ks.L, tuple):
+        from .ops.pallas_chol import inv_solve
+
+        _, Linv = ks.L
+        return inv_solve(Linv, v.astype(Linv.dtype)).astype(v.dtype)
     vf = v.astype(ks.L.dtype)
     lx = lax.linalg.triangular_solve(ks.L, vf, left_side=True, lower=True)
     lx = lax.linalg.triangular_solve(
@@ -270,7 +309,7 @@ def _backend_solve(data, ks: KKTState, rx, ry, rz):
 # ---------------------------------------------------------------------------
 
 @empty_factor.register
-def _(data: FullKKTQPData):
+def _(data: FullKKTQPData, settings: Settings = None):
     N = data.n + data.p + data.m
     return (
         jnp.zeros((N, N), data.P.dtype),

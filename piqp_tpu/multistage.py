@@ -267,7 +267,7 @@ def _tsolve(L, B, transpose=False):
 
 
 @kkt_mod.empty_factor.register
-def _(data: StageQPData):
+def _(data: StageQPData, settings=None):
     T, D, Da = data.T, data.D, data.Da
     dt = data.c.dtype
     if _use_cr(T):

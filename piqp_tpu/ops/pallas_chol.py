@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: batched Cholesky factorization with fused triangular
+inverse.
+
+This is the TPU-native replacement for the reference's blocked dense
+LDL^T/LLT kernel (/root/reference/include/piqp/dense/ldlt_no_pivot.hpp:
+279-354 — unblocked kernel + blocked driver) in the regime the north star
+targets: a *vmapped fleet* of small/medium condensed KKT systems
+(n = 16..256, B = hundreds..thousands), where the per-IPM-iteration cost is
+one batched factorization plus several batched triangular solves.
+
+Design (TPU-first, not a port):
+
+- One pallas_call grid instance factors a tile of ``TB`` problems held
+  entirely in VMEM, vectorizing every step ACROSS the batch tile: step j
+  performs a masked rank-1 update of the (TB, n, n) workspace on the VPU.
+  There is no panel/block decomposition — for n <= 256 the whole matrix
+  tile sits in VMEM, so the blocked structure of the CPU kernel (which
+  exists to keep panels in L1/L2 cache) is unnecessary.
+
+- The kernel *fuses the triangular inverse* into the factor loop: at step
+  j, row j of L^-1 is produced by forward substitution against rows < j
+  (one batched matvec on the MXU).  Every subsequent triangular solve
+  becomes a pair of batched GEMMs (x = L^-T (L^-1 b)) — MXU work with no
+  sequential dependence — instead of a latency-bound substitution sweep.
+  This trades the substitution's backward stability for MXU throughput;
+  the solver's always-on iterative refinement (kkt.py
+  _solve_condensed_refined) recovers the accuracy, exactly as it does for
+  the f32 mixed-precision factors this path is designed for.
+
+- Interpreter mode runs the identical kernel on CPU (tests, virtual-mesh
+  dryruns); compiled Mosaic runs on TPU.  f64 is supported in interpreter
+  mode only (TPU Mosaic is f32-native) — the device path is the
+  mixed-precision f32 route, which is where the MXU speed lives.
+
+Exposed as ``cholesky_with_inverse`` (a custom_vmap primitive): unbatched
+calls fall back to XLA's cholesky + triangular_solve-against-identity;
+vmapped calls (batch.solve_batch's regime) hit the Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# problems per grid instance; amortizes the n sequential steps across a
+# VMEM-resident tile of the batch
+_TB = 8
+# VMEM budget guard: 3 buffers of TB*n*n*4 bytes must fit comfortably
+_MAX_PALLAS_N = 256
+
+
+def _chol_inv_kernel(a_ref, l_ref, linv_ref, *, n: int):
+    """Factor a (TB, n, n) tile: L (lower Cholesky) and Linv = L^-1.
+
+    Per step j (lax.fori_loop, j = 0..n-1):
+      d      = sqrt(W[:, j, j])                    (W = running workspace)
+      lcol   = W[:, :, j] / d  masked to rows >= j
+      W     -= lcol lcol^T     masked to cols > j  (rank-1, VPU)
+      Linv_j = (e_j - L[j, :j] Linv[:j, :]) / d    (batched matvec, MXU)
+    Upper-triangle garbage is masked on read and zeroed at the end.
+    """
+    dt = l_ref.dtype
+    row_ids = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)  # (1, n, 1)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)  # (1, 1, n)
+
+    l_ref[:] = a_ref[:]
+    linv_ref[:] = jnp.zeros_like(linv_ref)
+
+    def step(j, _):
+        d2 = l_ref[:, pl.ds(j, 1), pl.ds(j, 1)]  # (TB, 1, 1)
+        dinv = lax.rsqrt(d2)
+        col = l_ref[:, :, pl.ds(j, 1)]  # (TB, n, 1)
+        lcol = jnp.where(row_ids >= j, col * dinv, jnp.zeros((), dt))
+        l_ref[:, :, pl.ds(j, 1)] = lcol
+        # trailing rank-1 update, restricted to columns > j
+        upd = lcol * jnp.swapaxes(lcol, 1, 2)  # (TB, n, n) outer product
+        l_ref[:] = l_ref[:] - jnp.where(col_ids > j, upd, jnp.zeros((), dt))
+        # fused forward substitution: row j of Linv
+        lrow = l_ref[:, pl.ds(j, 1), :]  # (TB, 1, n); cols < j are final
+        lrow = jnp.where(col_ids < j, lrow, jnp.zeros((), dt))
+        acc = lax.dot_general(
+            lrow, linv_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt,
+        )  # (TB, 1, n)
+        ej = jnp.where(col_ids == j, jnp.ones((), dt), jnp.zeros((), dt))
+        linv_ref[:, pl.ds(j, 1), :] = (ej - acc) * dinv
+        return 0
+
+    lax.fori_loop(0, n, step, 0)
+    # zero strict upper triangle of L (cholesky contract)
+    l_ref[:] = jnp.where(col_ids > row_ids, jnp.zeros((), dt), l_ref[:])
+
+
+def _pallas_chol_inv_batched(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, n, n) -> (L, Linv), padding B up to a multiple of the tile."""
+    B, n, _ = K.shape
+    tb = _TB if n <= 128 else 2
+    pad = (-B) % tb
+    if pad:
+        # padded slots factor the identity (finite, cheap)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), (pad, n, n))
+        K = jnp.concatenate([K, eye], axis=0)
+    Bp = K.shape[0]
+
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, n=n),
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, n, n), K.dtype),
+            jax.ShapeDtypeStruct((Bp, n, n), K.dtype),
+        ),
+        interpret=interpret,
+    )(K)
+    L, Linv = out
+    if pad:
+        L, Linv = L[:B], Linv[:B]
+    return L, Linv
+
+
+def _chol_inv_xla(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Unbatched / oversized fallback: XLA cholesky + explicit inverse."""
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    Linv = lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True
+    )
+    return L, Linv
+
+
+@jax.custom_batching.custom_vmap
+def cholesky_with_inverse(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """L = chol(K) and Linv = L^-1 for one (n, n) SPD matrix.
+
+    Under vmap (the batched-fleet regime) this dispatches to the Pallas
+    kernel; unbatched it uses XLA.  Solves then become GEMMs:
+    K^-1 v = Linv^T (Linv v).
+    """
+    return _chol_inv_xla(K)
+
+
+@cholesky_with_inverse.def_vmap
+def _cholesky_with_inverse_vmap(axis_size, in_batched, K):
+    (k_batched,) = in_batched
+    if not k_batched:
+        K = jnp.broadcast_to(K, (axis_size,) + K.shape)
+    n = K.shape[-1]
+    # TPU Mosaic is float32-native; other dtypes (or oversized / nested-vmap
+    # shapes) take the XLA route.  CPU runs the kernel in interpreter mode
+    # for any dtype.
+    kernel_ok = (
+        K.ndim == 3
+        and K.shape[-2] == n
+        and n <= _MAX_PALLAS_N
+        and (K.dtype == jnp.float32 or jax.default_backend() == "cpu")
+    )
+    if kernel_ok:
+        out = _pallas_chol_inv_batched(K)
+    else:
+        out = jax.vmap(_chol_inv_xla)(K)
+    return out, (True, True)
+
+
+def inv_solve(Linv: jax.Array, v: jax.Array) -> jax.Array:
+    """K^-1 v via the precomputed triangular inverse: two GEMM/matvecs
+    (the batched-triangular-solve replacement; MXU-shaped, no sequential
+    substitution).  Shapes: Linv (..., n, n), v (..., n)."""
+    y = jnp.einsum("...ij,...j->...i", Linv, v)
+    return jnp.einsum("...ji,...j->...i", Linv, y)

@@ -39,6 +39,7 @@ coarse factor — near-linear speedup once T >> ndev * (2 + Da/D).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -189,7 +190,7 @@ def shard_horizon(
 # ---------------------------------------------------------------------------
 
 @kkt_mod.empty_factor.register
-def _(data: ShardedStageQPData):
+def _(data: ShardedStageQPData, settings=None):
     T, D, Da = data.T, data.D, data.Da
     ndev = _ndev(data)
     Qi = T // ndev - 1  # interior stages per chunk
@@ -345,6 +346,25 @@ def _(data: ShardedStageQPData, ks, v):
 # driver
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("settings", "has_cone"))
+def _solve_sharded_jit(sdata: "ShardedStageQPData", settings: Settings,
+                       has_cone: bool) -> Result:
+    """Module-level jitted sharded solve: the cache key is (leaf shapes,
+    mesh/axis aux data, settings, has_cone), so repeated MPC-loop calls hit
+    the compiled executable instead of retracing a fresh closure per call
+    (round-1 weakness: jax.jit(run) on a per-call closure recompiled the
+    most expensive executable in the repo every step)."""
+    from .. import ruiz, solver
+
+    with jax.default_matmul_precision("highest"):
+        sd, sc = ruiz.equilibrate(
+            sdata,
+            max_iter=settings.preconditioner_iter,
+            scale_cost=settings.preconditioner_scale_cost,
+        )
+        return solver.solve_scaled(sd, sc, settings, has_cone)
+
+
 def solve_horizon_sharded(
     data: StageQPData,
     mesh: Mesh,
@@ -359,24 +379,12 @@ def solve_horizon_sharded(
     (possibly padded) stage layout; padded coordinates solve an isolated
     identity sub-problem and can be dropped by the caller.
     """
-    from .. import ruiz, solver
-
     sdata = data if isinstance(data, ShardedStageQPData) else shard_horizon(
         data, mesh, axis
     )
 
-    def run(d):
-        with jax.default_matmul_precision("highest"):
-            sd, sc = ruiz.equilibrate(
-                d,
-                max_iter=settings.preconditioner_iter,
-                scale_cost=settings.preconditioner_scale_cost,
-            )
-            return solver.solve_scaled(sd, sc, settings, has_cone)
-
-    jitted = jax.jit(run)
     with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
-        return jitted(sdata)
+        return _solve_sharded_jit(sdata, settings, has_cone)
 
 
 class _null:

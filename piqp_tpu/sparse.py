@@ -18,6 +18,7 @@ scalar-chasing code TPUs are worst at):
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import numpy as np
@@ -87,6 +88,7 @@ class SparseSolver(DenseSolver):
                     P, c, A, b, G, h_l, h_u, x_l, x_u,
                     dtype=self.settings.jnp_dtype,
                 )
+                self._cone = has_cone(self._stage_data)
                 self._result = None
                 self._first_run = True
                 return
@@ -129,6 +131,7 @@ class SparseSolver(DenseSolver):
             self._stage_data, self._layout = ms.from_sparse(
                 **self._stage_raw, dtype=self.settings.jnp_dtype
             )
+            self._cone = has_cone(self._stage_data)
             return
         super().update(
             _to_dense(P), c, _to_dense(A), b, _to_dense(G), h_l, h_u, x_l, x_u
@@ -152,9 +155,27 @@ class SparseSolver(DenseSolver):
             return super().solve()
         if not self.settings.verify():
             return Status.INVALID_SETTINGS
-        cone = has_cone(self._stage_data)
+        cone = self._cone
+        t0 = time.perf_counter()
         res, _ = _solve_fresh(self._stage_data, self.settings, cone)
         res = jax.block_until_ready(res)
+        solve_time = time.perf_counter() - t0
+        if self.settings.compute_timings:
+            from .api import _measure_kkt_times
+
+            t_factor, t_solve = _measure_kkt_times(
+                self._stage_data, self.settings,
+                int(res.info.iter), int(res.info.factor_retires),
+            )
+            import jax.numpy as jnp
+
+            f = lambda v: jnp.asarray(v, res.info.rho.dtype)
+            res = res.replace(info=res.info.replace(
+                solve_time=f(solve_time),
+                kkt_factor_time=f(t_factor),
+                kkt_solve_time=f(t_solve),
+                run_time=f(solve_time),
+            ))
         self._result = _PermutedResult(res, self._layout)
         self._first_run = False
         return Status(int(res.info.status))

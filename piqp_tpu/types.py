@@ -192,6 +192,13 @@ class Settings:
     # (late-IPM condensed systems exceed float32's conditioning range).
     mixed_precision: bool = False
     mixed_precision_mu_switch: float = 1e-5
+    # Use the Pallas batched Cholesky + fused-triangular-inverse kernel for
+    # the condensed dense backend (ops/pallas_chol.py).  Designed for the
+    # vmapped-fleet regime (n <= 256); triangular solves become batched
+    # GEMMs against the precomputed L^-1.  On TPU the kernel is
+    # float32-native, so pair with mixed_precision=True for the device path
+    # (float64 runs through the same kernel in interpreter mode on CPU).
+    pallas_kernels: bool = False
     # Validate Farkas certificates before returning PRIMAL/DUAL_INFEASIBLE
     # (no reference analog — the reference certifies from stall counters
     # alone, solver.hpp:616-630, which is trajectory-sensitive).  A failed
@@ -391,6 +398,18 @@ class Info:
     no_primal_update: jax.Array  # int32
     no_dual_update: jax.Array  # int32
 
+    # wall-time metrics (results.hpp:83-88), real pytree leaves so they
+    # survive jax.tree.map/vmap; filled host-side by the API wrapper when
+    # settings.compute_timings (zeros inside jit).  kkt_factor_time /
+    # kkt_solve_time come from separately timed device dispatches scaled by
+    # the dispatch counts (see api._measure_kkt_times).
+    setup_time: jax.Array
+    update_time: jax.Array
+    solve_time: jax.Array
+    kkt_factor_time: jax.Array
+    kkt_solve_time: jax.Array
+    run_time: jax.Array
+
 
 def init_info(settings: Settings, dtype) -> Info:
     f = lambda v: jnp.asarray(v, dtype=dtype)
@@ -424,6 +443,12 @@ def init_info(settings: Settings, dtype) -> Info:
         reg_limit=f(settings.reg_lower_limit),
         no_primal_update=i(0),
         no_dual_update=i(0),
+        setup_time=f(0.0),
+        update_time=f(0.0),
+        solve_time=f(0.0),
+        kkt_factor_time=f(0.0),
+        kkt_solve_time=f(0.0),
+        run_time=f(0.0),
     )
 
 

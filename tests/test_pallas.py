@@ -1,0 +1,108 @@
+"""Pallas batched cholesky-with-inverse kernel (ops/pallas_chol.py) —
+equivalence vs XLA's cholesky, and end-to-end IPM runs with
+Settings(pallas_kernels=True).
+
+On the CPU test backend the kernel runs in interpreter mode (the identical
+kernel body compiles under Mosaic on TPU; tests/test_pallas.py re-runs on
+the real chip via PIQP_TPU_TEST_TPU=1).
+
+Mirrors the reference's kernel-test layer for the blocked dense
+factorization (tests/src/dense/ldlt_test.cpp; kernel being replaced:
+dense/ldlt_no_pivot.hpp:279-354).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from piqp_tpu import DenseSolver, Settings, Status
+from piqp_tpu.batch import prepare_batch, solve_batch
+from piqp_tpu.ops.pallas_chol import (
+    _chol_inv_xla,
+    _pallas_chol_inv_batched,
+    cholesky_with_inverse,
+    inv_solve,
+)
+from piqp_tpu.utils.random import dense_strongly_convex_qp
+
+from helpers import check_optimality
+
+
+def _spd_batch(B, n, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = rng.uniform(-1, 1, (B, n, n))
+    K = Q @ np.swapaxes(Q, 1, 2) + n * np.eye(n)
+    return jnp.asarray(K, dtype)
+
+
+@pytest.mark.parametrize("n", [8, 32, 100, 128, 256])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_kernel_matches_xla_cholesky(n, dtype):
+    B = 5  # deliberately not a multiple of the tile size (pads internally)
+    K = _spd_batch(B, n, dtype, seed=n)
+    L, Linv = _pallas_chol_inv_batched(K)
+    L_ref = jnp.linalg.cholesky(K)
+    tol = 5e-5 if dtype == jnp.float32 else 1e-11
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), atol=tol, rtol=tol)
+    # Linv is the exact triangular inverse
+    eye = np.broadcast_to(np.eye(n), (B, n, n))
+    np.testing.assert_allclose(
+        np.asarray(L @ Linv), eye, atol=50 * tol, rtol=0
+    )
+
+
+def test_inv_solve_roundtrip():
+    B, n = 4, 64
+    K = _spd_batch(B, n, jnp.float64, seed=3)
+    L, Linv = _pallas_chol_inv_batched(K)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((B, n)))
+    x = inv_solve(Linv, v)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bij,bj->bi", K, x)), np.asarray(v), atol=1e-9
+    )
+
+
+def test_custom_vmap_dispatch():
+    """Unbatched call -> XLA fallback; vmapped call -> the Pallas kernel.
+    Both must agree."""
+    n = 48
+    K = _spd_batch(6, n, jnp.float64, seed=1)
+    L1, I1 = jax.vmap(cholesky_with_inverse)(K)
+    L0, I0 = _chol_inv_xla(K[0])
+    np.testing.assert_allclose(np.asarray(L1[0]), np.asarray(L0), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(I1[0]), np.asarray(I0), atol=1e-9)
+
+
+def test_dense_solver_pallas_end_to_end():
+    prob = dense_strongly_convex_qp(24, 6, 12, seed=11)
+    s = DenseSolver(Settings(pallas_kernels=True))
+    s.setup(**prob)
+    assert s.solve() == Status.SOLVED
+    check_optimality(prob, s.result, tol=1e-6)
+    # same solution as the XLA route
+    s2 = DenseSolver(Settings())
+    s2.setup(**prob)
+    assert s2.solve() == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(s.result.x), np.asarray(s2.result.x), atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_batched_solve_pallas(mixed):
+    B, n = 12, 32
+    problems = [
+        dense_strongly_convex_qp(n, n // 4, n // 2, seed=100 + i)
+        for i in range(B)
+    ]
+    data = prepare_batch(problems)
+    res = solve_batch(
+        data, Settings(pallas_kernels=True, mixed_precision=mixed)
+    )
+    assert np.all(np.asarray(res.info.status) == int(Status.SOLVED))
+    for i in range(B):
+        one = jax.tree.map(lambda x: x[i], res)
+        check_optimality(problems[i], one, tol=1e-6)

@@ -163,3 +163,21 @@ def test_2d_fleet_dp_x_sp():
         res = jax.jit(jax.vmap(one))(fleet)
     res = jax.block_until_ready(res)
     assert np.all(np.asarray(res.info.status) == 1)
+
+
+def test_sharded_solve_does_not_retrace():
+    """Repeated solve_horizon_sharded calls (the MPC loop) must hit the
+    jit cache — round 1 rebuilt a fresh closure per call and recompiled
+    the most expensive executable in the repo every step."""
+    from piqp_tpu.parallel.horizon import _solve_sharded_jit
+
+    sdata = ms.random_multistage_qp(T=8, D=3, Da=2, ra=2, rg=2, seed=9)
+    mesh = _mesh()
+    res = solve_horizon_sharded(sdata, mesh)
+    assert int(res.info.status) == Status.SOLVED
+    compiles_before = _solve_sharded_jit._cache_size()
+    for k in range(3):
+        bumped = sdata.replace(c=sdata.c + 1e-3 * (k + 1))
+        res = solve_horizon_sharded(bumped, mesh)
+        assert int(res.info.status) == Status.SOLVED
+    assert _solve_sharded_jit._cache_size() == compiles_before, "retraced"
