@@ -1016,6 +1016,102 @@ class StageLayout:
     n: int
     p: int
     m: int
+    # padding waste: padded chain width T*D over the real (non-arrow)
+    # variable count — the diagnostic the reference's print_info exposes
+    # via its block-size report (multistage_kkt.hpp:385-393)
+    waste: float = 1.0
+
+
+def _reblock_uniform(S, is_arrow, starts, sizes):
+    """Equalize detected block sizes for uniform-width batching.
+
+    The reference optimizes per-block sizes with a flop model
+    (multistage_kkt.hpp:397-510) because BLASFEO handles heterogeneous
+    blocks natively; TPU batching (vmapped einsums, lax.scan, cyclic
+    reduction) wants ONE width D, so the same arrow-vs-block tradeoff is
+    re-cast as choosing a uniform target width D_t:
+
+      - blocks larger than D_t spill their excess variables into the
+        global arrow (always valid: moving a variable to the arrow only
+        removes tridiagonal couplings, never creates distant ones);
+      - runs of adjacent blocks with combined size <= D_t merge (always
+        valid: coupling between merged neighbors becomes intra-block).
+
+    D_t is picked by minimizing the factorization flop model over the
+    candidate widths: T'(c_chain D^3 + 2 D^2 Da' + D Da'^2) + Da'^3/3 —
+    the same potrf/trsm/syrk/gemm cost terms as the reference's
+    extract_arrow_structure.  Spilled variables are chosen by descending
+    pattern degree (hub variables cost the most tridiagonal couplings).
+    """
+    n = S.shape[0]
+    sizes = np.asarray(sizes, np.int64)
+    Da0 = int(is_arrow.sum())
+    if len(sizes) == 0:
+        return is_arrow, starts, sizes
+
+    def simulate(Dt):
+        spilled = np.maximum(sizes - Dt, 0)
+        kept = sizes - spilled
+        # greedy left-to-right merge of adjacent blocks into width <= Dt
+        Tm = 0
+        acc = 0
+        for s in kept:
+            if acc and acc + s <= Dt:
+                acc += s
+            else:
+                Tm += 1
+                acc = s
+        Da = Da0 + int(spilled.sum())
+        cost = Tm * ((7.0 / 3.0) * Dt**3 + 2.0 * Dt**2 * Da + Dt * Da**2)
+        cost += Da**3 / 3.0
+        return cost, int(spilled.sum()), Tm, Da
+
+    cands = sorted(set(int(s) for s in sizes if s > 0))
+    # a pure-merge width above the max is never better than max itself
+    best_Dt, best_cost = int(sizes.max()), simulate(int(sizes.max()))[0]
+    for Dt in cands:
+        c, _, Tm, _ = simulate(Dt)
+        if Tm >= 3 and c < best_cost:
+            best_cost, best_Dt = c, Dt
+    Dt = best_Dt
+
+    # spill: highest-degree variables first (hub variables carry the most
+    # couplings; mirrors the greedy cover of the initial detection)
+    degree = np.diff(S.indptr)
+    orig_idx = np.nonzero(~is_arrow)[0]
+    new_arrow = is_arrow.copy()
+    kept_sizes = []
+    for t in range(len(starts)):
+        blk = orig_idx[starts[t]:starts[t] + sizes[t]]
+        if sizes[t] > Dt:
+            order = np.argsort(-degree[blk], kind="stable")
+            new_arrow[blk[order[: sizes[t] - Dt]]] = True
+            kept_sizes.append(Dt)
+        else:
+            kept_sizes.append(int(sizes[t]))
+
+    # merge adjacent runs
+    new_starts, new_sizes = [], []
+    pos = 0
+    acc = 0
+    for s in kept_sizes:
+        if acc and acc + s <= Dt:
+            acc += s
+        else:
+            if acc:
+                new_starts.append(pos)
+                new_sizes.append(acc)
+                pos += acc
+            acc = s
+    if acc:
+        new_starts.append(pos)
+        new_sizes.append(acc)
+
+    return (
+        new_arrow,
+        np.asarray(new_starts, np.int64),
+        np.asarray(new_sizes, np.int64),
+    )
 
 
 def from_sparse(
@@ -1059,6 +1155,10 @@ def from_sparse(
     T = len(starts)
     if T < min_blocks:
         raise ValueError(f"no multistage structure (only {T} blocks)")
+    is_arrow, starts, sizes = _reblock_uniform(S, is_arrow, starts, sizes)
+    T = len(starts)
+    if T < min_blocks:
+        raise ValueError(f"no multistage structure (only {T} blocks)")
     Da = int(is_arrow.sum())
     D = int(sizes.max())
 
@@ -1078,16 +1178,9 @@ def from_sparse(
         keep, var_stage * D + var_off, T * D + var_off
     ).astype(np.int64)
 
-    # scatter P into blocks; pad unused diagonal slots with identity
-    Pd, Psub, Pa, Pc = _native.scatter_P(
-        P.indptr, P.indices, P.data, var_stage, var_off, T, D, Da
-    )
     used = np.zeros((T, D), bool)
     for t, (s0, sz) in enumerate(zip(starts, sizes)):
         used[t, :sz] = True
-    padmask = ~used
-    idx_t, idx_d = np.nonzero(padmask)
-    Pd[idx_t, idx_d, idx_d] = 1.0
 
     # bucket constraint rows (rows may touch stages {j} or {j, j+1} + arrow)
     def bucket_rows(M):
@@ -1123,32 +1216,100 @@ def from_sparse(
     Gr, g_bucket = bucket_rows(G)
     rg, g_slot, g_row_map = layout_rows(g_bucket, m)
 
+    # Pad the horizon to a chunkable length — but only when the chunked
+    # scheme is actually selected (T > _CR_MAX_T): cyclic reduction handles
+    # any horizon length, so padding there would just add wasted stages and
+    # an unnecessary arrow-coordinate shift.  The two-level scheme needs a
+    # divisor C ~ sqrt(T); prime horizons would otherwise fall back to the
+    # latency-bound sequential scan.  Padded stages are decoupled identity
+    # sub-problems (see parallel.pad_stages); arrow coordinates shift by
+    # (T_pad - T) * D.
+    T_pad = T if _use_cr(T) else _next_chunkable(T)
+
+    cache = _ScatterCache(
+        n=n, p=p, m=m, T=T, D=D, Da=Da, T_pad=T_pad,
+        var_stage=var_stage, var_off=var_off, var_map=var_map, used=used,
+        a_bucket=a_bucket, a_slot=a_slot, a_row_map=a_row_map, ra=ra,
+        g_bucket=g_bucket, g_slot=g_slot, g_row_map=g_row_map, rg=rg,
+    )
+    return _assemble(P, c, A, b, G, h_l, h_u, x_l, x_u, cache, dtype)
+
+
+@dataclasses.dataclass
+class _ScatterCache:
+    """Everything the value-scatter needs, cached at setup so that
+    update() re-scatters values without re-running structure detection
+    (the analog of the reference's nnz-map based update_data,
+    multistage_kkt.hpp:140-178 / kkt_full.hpp:212-251)."""
+
+    n: int
+    p: int
+    m: int
+    T: int
+    D: int
+    Da: int
+    T_pad: int
+    var_stage: np.ndarray
+    var_off: np.ndarray
+    var_map: np.ndarray  # UNSHIFTED (pre horizon-pad)
+    used: np.ndarray  # (T, D) bool: real (non-pad) diagonal slots
+    a_bucket: np.ndarray
+    a_slot: np.ndarray
+    a_row_map: np.ndarray
+    ra: int
+    g_bucket: np.ndarray
+    g_slot: np.ndarray
+    g_row_map: np.ndarray
+    rg: int
+
+
+def _assemble(P, c, A, b, G, h_l, h_u, x_l, x_u, cache, dtype):
+    """Scatter values into stage blocks per the cached maps and build the
+    StageQPData + StageLayout.  P/A/G may be None on the update path
+    (vectors-only); scipy matrices otherwise."""
+    import scipy.sparse as sp
+
+    from . import _native
+
+    T, D, Da = cache.T, cache.D, cache.Da
+    n, p, m = cache.n, cache.p, cache.m
+    var_stage, var_off, var_map = cache.var_stage, cache.var_off, cache.var_map
+
+    P = sp.csc_matrix(P)
+    Pd, Psub, Pa, Pc = _native.scatter_P(
+        P.indptr, P.indices, P.data, var_stage, var_off, T, D, Da
+    )
+    idx_t, idx_d = np.nonzero(~cache.used)
+    Pd[idx_t, idx_d, idx_d] = 1.0
+
+    Ar = (sp.csc_matrix(A) if A is not None else sp.csc_matrix((0, n))).tocsr()
+    Gr = (sp.csc_matrix(G) if G is not None else sp.csc_matrix((0, n))).tocsr()
     A1, A2, Ag = _native.scatter_constr(
         Ar.indptr, Ar.indices, Ar.data, var_stage, var_off,
-        a_bucket, a_slot, T, ra, D, Da,
+        cache.a_bucket, cache.a_slot, T, cache.ra, D, Da,
     ) if p else (np.zeros((T, 0, D)), np.zeros((T, 0, D)), np.zeros((T, 0, Da)))
     G1, G2, Gg = _native.scatter_constr(
         Gr.indptr, Gr.indices, Gr.data, var_stage, var_off,
-        g_bucket, g_slot, T, rg, D, Da,
+        cache.g_bucket, cache.g_slot, T, cache.rg, D, Da,
     ) if m else (np.zeros((T, 0, D)), np.zeros((T, 0, D)), np.zeros((T, 0, Da)))
 
     # flat vectors in stage layout
-    n_pad, p_pad, m_pad = T * D + Da, T * ra, T * rg
+    n_pad, p_pad, m_pad = T * D + Da, T * cache.ra, T * cache.rg
     inf = np.inf
     c_f = np.zeros(n_pad)
     c_f[var_map] = np.asarray(c, np.float64).ravel()
     b_f = np.zeros(p_pad)
     if p:
-        b_f[a_row_map] = np.asarray(b, np.float64).ravel()
+        b_f[cache.a_row_map] = np.asarray(b, np.float64).ravel()
     # padded inequality rows are all-zero: give them the benign [-1, 1]
     # bounds disable_inf_constraints would produce
     hl_f = np.full(m_pad, -1.0)
     hu_f = np.full(m_pad, 1.0)
     if m:
-        hl_f[g_row_map] = (
+        hl_f[cache.g_row_map] = (
             np.asarray(h_l, np.float64).ravel() if h_l is not None else -inf
         )
-        hu_f[g_row_map] = (
+        hu_f[cache.g_row_map] = (
             np.asarray(h_u, np.float64).ravel() if h_u is not None else inf
         )
     xl_f = np.full(n_pad, -inf)
@@ -1165,27 +1326,41 @@ def from_sparse(
         x_l=xl_f, x_u=xu_f, dtype=dtype,
     )
 
-    # Pad the horizon to a chunkable length — but only when the chunked
-    # scheme is actually selected (T > _CR_MAX_T): cyclic reduction handles
-    # any horizon length, so padding there would just add wasted stages and
-    # an unnecessary arrow-coordinate shift.  The two-level scheme needs a
-    # divisor C ~ sqrt(T); prime horizons would otherwise fall back to the
-    # latency-bound sequential scan.  Padded stages are decoupled identity
-    # sub-problems (see parallel.pad_stages); arrow coordinates shift by
-    # (T_pad - T) * D.
-    T_pad = T if _use_cr(T) else _next_chunkable(T)
-    if T_pad != T:
+    if cache.T_pad != T:
         from .parallel.horizon import pad_stages
 
-        sdata = pad_stages(sdata, T_pad)
-        shift = (T_pad - T) * D
+        sdata = pad_stages(sdata, cache.T_pad)
+        shift = (cache.T_pad - T) * D
         var_map = np.where(var_map >= T * D, var_map + shift, var_map)
 
     layout = StageLayout(
-        var_map=var_map, a_row_map=a_row_map, g_row_map=g_row_map,
+        var_map=var_map, a_row_map=cache.a_row_map,
+        g_row_map=cache.g_row_map,
         n=n, p=p, m=m,
+        waste=float(sdata.T * sdata.D) / max(1, n - Da),
     )
+    layout._cache = cache
     return sdata, layout
+
+
+def update_values(
+    layout: StageLayout,
+    P, c, A=None, b=None, G=None, h_l=None, h_u=None, x_l=None, x_u=None,
+    dtype=jnp.float64,
+):
+    """Value-only multistage update: re-scatter new values through the
+    cached maps of a prior from_sparse call, skipping structure detection
+    and reblocking entirely (solver.hpp:318-359 semantics: nnz patterns
+    must stay within the detected stage structure; a pattern that breaks
+    adjacency raises ValueError exactly like setup would)."""
+    cache = getattr(layout, "_cache", None)
+    if cache is None:
+        raise ValueError("layout has no scatter cache (not from from_sparse)")
+    import scipy.sparse as sp
+
+    P = sp.csc_matrix(P)
+    P = (sp.triu(P) + sp.triu(P, 1).T).tocsc()
+    return _assemble(P, c, A, b, G, h_l, h_u, x_l, x_u, cache, dtype)
 
 
 def _next_chunkable(T: int) -> int:

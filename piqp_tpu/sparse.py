@@ -128,8 +128,12 @@ class SparseSolver(DenseSolver):
             for k, v in updates.items():
                 if v is not None:
                     self._stage_raw[k] = v
-            self._stage_data, self._layout = ms.from_sparse(
-                **self._stage_raw, dtype=self.settings.jnp_dtype
+            # value-only re-scatter through the cached maps: structure
+            # detection and reblocking are skipped entirely (the analog of
+            # the reference's nnz-map update, multistage_kkt.hpp:140-178)
+            self._stage_data, self._layout = ms.update_values(
+                self._layout, **self._stage_raw,
+                dtype=self.settings.jnp_dtype,
             )
             self._cone = has_cone(self._stage_data)
             return

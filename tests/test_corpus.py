@@ -164,3 +164,52 @@ def test_netlib_infeasible_device(name):
     assert status in (Status.PRIMAL_INFEASIBLE, Status.DUAL_INFEASIBLE), (
         f"{name}: status {status}"
     )
+
+
+# ---------------------------------------------------------------------------
+# device dense path: medium subset up to the actual routing cap
+# (sparse.py DENSE_ROUTING_MAX_N = 512; VERDICT round-1 item 8)
+# ---------------------------------------------------------------------------
+
+MEDIUM_MAROS = [
+    "PRIMAL1", "PRIMALC5", "QBANDM", "QBEACONF", "QBORE3D", "QCAPRI",
+    "QE226", "QFORPLAN", "QGROW7", "QPCBOEI1", "QPCSTAIR", "QSCAGR25",
+    "QSCFXM1", "QSCORPIO", "QSCTAP1", "QSTAIR",
+]
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize("name", MEDIUM_MAROS)
+def test_maros_meszaros_dense_device_medium(name):
+    """256 < n <= 512 instances through the device dense condensed
+    backend — the sizes that route to the device in SparseSolver but were
+    only host-corpus-tested in round 1."""
+    prob = load_mat(os.path.join(MAROS_DIR, name + ".mat"))
+    view, res = _solve_padded(prob)
+    assert int(res.info.status) == Status.SOLVED, (
+        f"{name}: {int(res.info.status)} after {int(res.info.iter)} iters "
+        f"(primal_res={float(res.info.primal_res):.2e}, "
+        f"dual_res={float(res.info.dual_res):.2e})"
+    )
+
+
+NETLIB_SMALL = [
+    "adlittle", "afiro", "agg", "agg2", "agg3", "bandm", "beaconfd",
+    "blend", "boeing1", "boeing2", "bore3d", "brandy", "capri", "e226",
+    "forplan", "grow7", "israel", "kb2", "lotfi", "recipe", "sc105",
+    "sc205", "sc50a", "sc50b", "scagr25", "scagr7", "scfxm1", "scorpion",
+    "sctap1", "share1b", "share2b", "stair", "stocfor1", "vtp.base",
+]
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize("name", NETLIB_SMALL)
+def test_netlib_feasible_device(name):
+    """Feasible Netlib LPs with n <= 512 through the device dense path
+    (P = 0: exercises the pure-LP corner of the condensed backend)."""
+    prob = load_mat(os.path.join(NETLIB_FEAS_DIR, name + ".mat"))
+    settings = Settings(infeasibility_threshold=0.01)
+    view, res = _solve_padded(prob, settings)
+    assert int(res.info.status) == Status.SOLVED, (
+        f"{name}: {int(res.info.status)} after {int(res.info.iter)} iters"
+    )

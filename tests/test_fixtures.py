@@ -117,3 +117,40 @@ def test_robot_arm_constr_perm_infeasible():
     assert int(res.info.status) == Status.PRIMAL_INFEASIBLE
     rh = solve_sparse_host(**_load("robot_arm_sqp_constr_perm", sparse=True))
     assert rh.info.status == int(Status.PRIMAL_INFEASIBLE)
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize("name", ["robot_arm_sqp", "robot_arm_sqp_no_global"])
+def test_robot_arm_multistage(name):
+    """VERDICT round-1 item 5 done-criterion: the robot_arm SQP fixtures
+    solve on the multistage device backend with padding waste < 2x (the
+    uniform-width reblocking pass keeps irregular problems from exploding
+    to max-D)."""
+    prob = _load(name, sparse=True)
+    sdata, layout = ms.from_sparse(**prob)
+    assert layout.waste < 2.0, layout.waste
+    res = solve_prepared(sdata)
+    assert int(res.info.status) == Status.SOLVED
+    assert float(res.info.primal_res) < 1e-8
+    assert float(res.info.dual_res) < 1e-8
+    # the optimal face is non-unique (objective curvature ~1e-6): compare
+    # objectives, not iterates
+    rh = solve_sparse_host(**prob)
+    assert abs(float(res.info.primal_obj) - rh.info.primal_obj) < 1e-8
+
+
+@pytest.mark.corpus
+def test_reblock_reduces_padding_waste():
+    """chain_mass_sqp has one 44-wide block in a 24-wide chain; the
+    flop-model reblocking (multistage._reblock_uniform) spills the excess
+    into the arrow, cutting padded waste from 1.84x to ~1.02x while the
+    problem still solves to reference agreement."""
+    prob = _load("chain_mass_sqp", sparse=True)
+    sdata, layout = ms.from_sparse(**prob)
+    assert layout.waste < 1.2, layout.waste
+    assert sdata.D <= 24
+    res = solve_prepared(sdata)
+    assert int(res.info.status) == Status.SOLVED
+    rh = solve_sparse_host(**prob)
+    x_user = np.asarray(res.x)[layout.var_map]
+    np.testing.assert_allclose(x_user, rh.x, rtol=1e-5, atol=1e-6)

@@ -320,3 +320,38 @@ def test_odd_horizon_no_padding():
         np.asarray(dense.x_l), np.asarray(dense.x_u),
     )
     assert sdata.T == 17, f"horizon padded to {sdata.T}"
+
+
+@pytest.mark.corpus
+def test_update_values_matches_fresh_scatter():
+    """Value-only update (ms.update_values) must produce bit-identical
+    StageQPData to a fresh from_sparse on the same data while skipping
+    detection/reblocking (the nnz-map update analog,
+    multistage_kkt.hpp:140-178)."""
+    import time
+
+    from piqp_tpu.utils.io import load_mat
+
+    prob = load_mat(
+        "/root/reference/tests/data/chain_mass_sqp.mat", sparse=True
+    )
+    t0 = time.perf_counter()
+    sdata, layout = ms.from_sparse(**prob)
+    setup_t = time.perf_counter() - t0
+
+    prob2 = dict(prob)
+    prob2["c"] = prob["c"] * 1.25
+    prob2["P"] = prob["P"] * 1.5  # same pattern, new values
+
+    t0 = time.perf_counter()
+    up_data, up_layout = ms.update_values(layout, **prob2)
+    update_t = time.perf_counter() - t0
+
+    import jax
+
+    fresh, _ = ms.from_sparse(**prob2)
+    for a, b in zip(jax.tree.leaves(up_data), jax.tree.leaves(fresh)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(up_layout.var_map, layout.var_map)
+    # re-scatter skips detection: expect a large speedup
+    assert update_t < setup_t, (update_t, setup_t)
