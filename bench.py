@@ -1,116 +1,148 @@
 """Benchmark driver.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measurement: warm solve latency on the reference's own SQP benchmark
-fixture (chain_mass_sqp, n=1849 — benchmarks/src/sqp_benchmarks.cpp), run
-through the dense condensed device backend with two-phase mixed precision
-(f32 MXU factors while the barrier is loose, f64 endgame; identical
-eps_abs=1e-8 accuracy, see docs/backends.md).  vs_baseline divides the
-sequential CPU dense solve time of the same problem (XLA-CPU Cholesky —
-Eigen-class, the stand-in for the reference's single-core solve; the
-reference repo publishes no absolute numbers, BASELINE.md `published: {}`)
-by the device time.
+Headline metric (BASELINE config 2, the north star): aggregate warm
+QP-solves/sec for 1024 vmapped dense strongly-convex QPs (n = 64,
+n_eq = n_ineq = 32), solved with the batched condensed-Cholesky device
+backend under two-phase mixed precision (f32 MXU factors while the barrier
+is loose, f64 endgame; identical eps_abs = 1e-8 accuracy, docs/backends.md).
 
-Timing methodology for the tunneled axon TPU runtime (v0.54):
-  - every timed region ends with a full device->host readback
-    (np.asarray) — on this runtime jax.block_until_ready can return
-    before the dispatch finishes, under-reporting by orders of magnitude;
-  - all uploads happen before the first dispatch (interleaving transfers
-    with large-executable dispatches faults the device);
-  - median of 3 warm repetitions.
+vs_baseline divides by the REAL reference solver: benchmarks/ref_driver.cpp
+builds the actual PIQP C++ (header-only, /root/reference/include, Eigen from
+the tensorflow wheel) and solves the byte-identical 1024 problems
+single-core with warm update+solve rounds — measured numbers and full
+provenance in benchmarks/ref_baseline.json.  The ">=10x aggregate
+QP-solves/sec vs single-core PIQP" target from BASELINE.json is scored
+against that number (n=64 warm: 2947.44 solves/sec on this container).
 
-Context recorded in extra: this tunnel executes large IPM executables at
-~20-40 GFLOP/s effective regardless of precision or batch shape (measured
-across n=64..2048, f32/f64), orders of magnitude below v5e silicon peak;
-absolute numbers reflect the tunnel, not the architecture.  The batched
-path (batch.solve_batch) and the n=64/256 shape sweeps live in
-benchmarks/dense_bench.py.
+Each device config runs in a FRESH subprocess (benchmarks/northstar_bench.py)
+because the tunneled axon TPU runtime degrades per-process as compiled
+executables accumulate (~100x dispatch inflation).  Timing rules for this
+runtime (docs/performance.md): all uploads before the first dispatch, every
+timed region ends in a device->host readback (block_until_ready can return
+early), dispatches chunked to stay inside the per-dispatch envelope.
+
+"extra" carries the effective-GFLOP/s + per-iteration device time derived
+from an analytic flop model so the runtime ceiling is quantified: this
+tunnel executes large executables at ~20-40 GFLOP/s regardless of precision
+or shape (measured n=64..2048 f32/f64), orders of magnitude below v5e
+silicon; absolute numbers reflect the tunnel, not the architecture.
 """
 
 import json
-import time
+import os
+import subprocess
+import sys
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+REF_BASELINE = os.path.join(REPO, "benchmarks", "ref_baseline.json")
 
-import jax
+# (dim, B, chunk, mixed) attempts, first success wins; later entries shrink
+# the per-dispatch working set for flakier runtime days.
+ATTEMPTS = [
+    (64, 1024, 256, 1),
+    (64, 1024, 128, 1),
+    (64, 512, 128, 1),
+    (64, 256, 128, 0),
+]
 
-import piqp_tpu
-from piqp_tpu import Settings, Status
-from piqp_tpu.api import prepare_data, _solve_fresh
-from piqp_tpu.utils.io import load_mat
 
-FIXTURE = "/root/reference/tests/data/chain_mass_sqp.mat"
-REPS = 3
+def _cpu_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip axon PJRT registration
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
 
 
-def _timed_solve(data, settings):
-    t0 = time.perf_counter()
-    res, _ = _solve_fresh(data, settings, True)
-    np.asarray(res.x)  # completion barrier (see module docstring)
-    return time.perf_counter() - t0, res
+def run_config(dim, B, chunk, mixed, timeout=2400, env=None):
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "benchmarks", "northstar_bench.py"),
+        str(dim), str(B), str(chunk), str(mixed),
+    ]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if out.returncode != 0:
+        return None, (out.stderr or out.stdout)[-500:]
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    return None, "no JSON in output"
+
+
+def device_alive(timeout=240):
+    """Probe the accelerator in a subprocess (a dead tunnel hangs import)."""
+    code = (
+        "import jax, numpy as np\n"
+        "x = jax.numpy.ones((256, 256)) @ jax.numpy.ones((256, 256))\n"
+        "print(np.asarray(x)[0, 0], jax.devices()[0])\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
-    prob = load_mat(FIXTURE)
-    settings = Settings(mixed_precision=True)
+    with open(REF_BASELINE) as f:
+        ref = json.load(f)
 
-    data = jax.device_put(prepare_data(**prob))
-    jax.block_until_ready(data)
+    errors = []
+    env = None
+    if not device_alive() and not device_alive():
+        # tunnel down: run the metric on XLA-CPU, clearly labeled in extra
+        errors.append("accelerator probe failed twice; falling back to XLA-CPU")
+        env = _cpu_env()
+    for dim, B, chunk, mixed in ATTEMPTS:
+        res, err = run_config(dim, B, chunk, mixed, env=env)
+        if res is not None:
+            break
+        errors.append(f"B={B},chunk={chunk},mixed={mixed}: {err}")
+    else:
+        print(json.dumps({
+            "metric": "aggregate warm QP-solves/sec (config 2: vmapped dense n=64)",
+            "value": 0.0, "unit": "solves/sec", "vs_baseline": 0.0,
+            "error": "; ".join(errors)[-1200:],
+        }))
+        return
 
-    _, res = _timed_solve(data, settings)  # warmup/compile
-    assert int(res.info.status) == Status.SOLVED, int(res.info.status)
-
-    ts = []
-    for _ in range(REPS):
-        dt, res = _timed_solve(data, settings)
-        assert int(res.info.status) == Status.SOLVED
-        ts.append(dt)
-    dev_t = float(np.median(ts))
-
-    # host sparse backend for context (SuperLU exploits the fixture's
-    # sparsity; reported in extra, not the baseline — the baseline is the
-    # same dense algorithm on CPU)
-    from piqp_tpu.hostsparse import solve_sparse_host
-    from piqp_tpu.utils.io import load_mat as _lm
-    sp_prob = _lm(FIXTURE, sparse=True)
-    t0 = time.perf_counter()
-    rh = solve_sparse_host(**sp_prob)
-    host_t = time.perf_counter() - t0
-    assert rh.info.status == int(Status.SOLVED)
-
-    # sequential CPU dense baseline (same problem, same algorithm, f64)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        cdata = jax.device_put(jax.tree.map(np.asarray, data), cpu)
-        _, rc = _timed_solve(cdata, Settings())  # warmup/compile
-        assert int(rc.info.status) == Status.SOLVED
-        cts = []
-        for _ in range(2):
-            dt, rc = _timed_solve(cdata, Settings())
-            assert int(rc.info.status) == Status.SOLVED
-            cts.append(dt)
-    cpu_t = float(np.median(cts))
-
-    print(
-        json.dumps(
-            {
-                "metric": "sqp_fixture_chain_mass_n1849_solve_latency",
-                "value": round(dev_t * 1e3, 1),
-                "unit": "ms",
-                "vs_baseline": round(cpu_t / dev_t, 3),
-                "extra": {
-                    "device_mixed_ms": round(dev_t * 1e3, 1),
-                    "cpu_dense_f64_ms": round(cpu_t * 1e3, 1),
-                    "host_sparse_ms": round(host_t * 1e3, 1),
-                    "iters": int(res.info.iter),
-                    "eps_abs": 1e-8,
-                    "device": str(jax.devices()[0]),
-                    "note": "tunnel executes at ~20-40 GFLOP/s effective; "
-                            "see module docstring",
-                },
-            }
-        )
-    )
+    refc = ref["configs"][str(res["dim"])]
+    value = res["warm_qps_per_s"]
+    vs = value / refc["warm_qps_per_s"]
+    print(json.dumps({
+        "metric": "aggregate warm QP-solves/sec (config 2: 1024 vmapped dense QPs, n=64)",
+        "value": round(value, 1),
+        "unit": "solves/sec",
+        "vs_baseline": round(vs, 3),
+        "extra": {
+            "device": res["device"],
+            "B": res["B"], "chunk": res["chunk"],
+            "mixed_precision": bool(res["mixed"]),
+            "cold_qps_per_s": res["cold_qps_per_s"],
+            "solved": res["solved"], "warm_solved": res["warm_solved"],
+            "max_iters": res["max_iters"],
+            "eff_gflops": res.get("eff_gflops"),
+            "iter_us_per_problem": res.get("iter_us_per_problem"),
+            "baseline": {
+                "what": "real reference PIQP C++, single-core, warm update+solve, identical 1024 problems",
+                "warm_qps_per_s": refc["warm_qps_per_s"],
+                "cold_qps_per_s": refc["cold_qps_per_s"],
+                "provenance": "benchmarks/ref_baseline.json",
+            },
+            "attempt_errors": errors or None,
+        },
+    }))
 
 
 if __name__ == "__main__":

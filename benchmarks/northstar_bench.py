@@ -84,6 +84,18 @@ def main():
     warm_dt2, _, _ = sweep(warm_chunks)
     warm_dt = min(warm_dt, warm_dt2)
 
+    # Analytic per-problem-per-IPM-iteration flop estimate for the condensed
+    # dense path (factor n^3/3 + ~2 refined triangular-solve pairs at 2n^2
+    # each + condensation/residual matvecs ~6n^2): a lower bound on useful
+    # flops, used to turn wall time into an effective-GFLOP/s figure that
+    # separates the runtime's ceiling from the architecture.  The batched
+    # while_loop runs every problem in a chunk for the max iteration count
+    # of that chunk, so B*max_iters is the actual executed iteration count.
+    n = dim
+    flops_per_iter = n ** 3 / 3 + 14.0 * n ** 2
+    total_flops = B * iters * flops_per_iter
+    eff_gflops = total_flops / warm_dt / 1e9
+
     print(json.dumps(dict(
         dim=dim, B=B, chunk=chunk, mixed=mixed,
         device=str(jax.devices()[0]),
@@ -91,6 +103,8 @@ def main():
         cold_qps_per_s=round(B / cold_dt, 1),
         warm_qps_per_s=round(B / warm_dt, 1),
         solved=cold_solved, warm_solved=warm_solved, max_iters=iters,
+        eff_gflops=round(eff_gflops, 2),
+        iter_us_per_problem=round(warm_dt / (B * iters) * 1e6, 2),
     )))
 
 
