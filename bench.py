@@ -132,6 +132,7 @@ def main():
             "cold_qps_per_s": res["cold_qps_per_s"],
             "solved": res["solved"], "warm_solved": res["warm_solved"],
             "max_iters": res["max_iters"],
+            "warm_max_iters": res.get("warm_max_iters"),
             "eff_gflops": res.get("eff_gflops"),
             "iter_us_per_problem": res.get("iter_us_per_problem"),
             "baseline": {

@@ -25,6 +25,7 @@ import numpy as np
 from . import kkt, ruiz, solver
 from .types import (
     PIQP_INF,
+    BasicVars,
     FullKKTQPData,
     Info,
     KKTBackend,
@@ -174,7 +175,7 @@ def has_cone(data: QPData) -> bool:
 
 
 @partial(jax.jit, static_argnames=("settings", "cone"))
-def _solve_fresh(data: QPData, settings: Settings, cone: bool):
+def _solve_fresh(data: QPData, settings: Settings, cone: bool, warm=None):
     """Equilibrate + solve; returns (result, scaling)."""
     # float32 matmuls on TPU default to bfloat16 passes — catastrophic for a
     # factorization-based solver; force full-precision accumulation (f64 is
@@ -185,14 +186,16 @@ def _solve_fresh(data: QPData, settings: Settings, cone: bool):
             max_iter=settings.preconditioner_iter,
             scale_cost=settings.preconditioner_scale_cost,
         )
-        return solver.solve_scaled(sdata, sc, settings, cone), sc
+        return solver.solve_scaled(sdata, sc, settings, cone, warm), sc
 
 
 @partial(jax.jit, static_argnames=("settings", "cone"))
-def _solve_reuse(data: QPData, sc: Scaling, settings: Settings, cone: bool):
+def _solve_reuse(
+    data: QPData, sc: Scaling, settings: Settings, cone: bool, warm=None
+):
     with jax.default_matmul_precision("highest"):
         sdata = ruiz.apply_scaling(data, sc)
-        return solver.solve_scaled(sdata, sc, settings, cone)
+        return solver.solve_scaled(sdata, sc, settings, cone, warm)
 
 
 def solve_prepared(
@@ -353,7 +356,12 @@ class DenseSolver:
 
     # -- solve --------------------------------------------------------------
 
-    def solve(self) -> Status:
+    def solve(self, warm_start: bool = False) -> Status:
+        """Solve the current problem.  ``warm_start=True`` seeds the IPM
+        from the previous solve's iterates (x, y, z_*) — the MPC/SQP
+        re-solve pattern after ``update()``; typically cuts the iteration
+        count several-fold when the data moved a little.  No reference
+        analog (the reference always cold-starts, solver.hpp:398-577)."""
         if self._data is None:
             raise RuntimeError("Solver not setup yet")
         if not self.settings.verify():
@@ -364,14 +372,20 @@ class DenseSolver:
         if self.settings.verbose:
             self._print_header()
 
+        warm = None
+        if warm_start and self._result is not None and hasattr(self._result, "x"):
+            r = self._result
+            warm = BasicVars(x=r.x, y=r.y, z_l=r.z_l, z_u=r.z_u,
+                             z_bl=r.z_bl, z_bu=r.z_bu)
+
         data = _route_backend(self._data, self.settings)
         cone = self._cone
         t0 = time.perf_counter()
         if self._scaling is None or not self.settings.preconditioner_reuse_on_update:
-            result, sc = _solve_fresh(data, self.settings, cone)
+            result, sc = _solve_fresh(data, self.settings, cone, warm)
             self._scaling = sc
         else:
-            result = _solve_reuse(data, self._scaling, self.settings, cone)
+            result = _solve_reuse(data, self._scaling, self.settings, cone, warm)
         result = jax.block_until_ready(result)
         solve_time = time.perf_counter() - t0
 

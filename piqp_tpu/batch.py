@@ -24,7 +24,7 @@ from jax import lax
 
 from . import ruiz, solver
 from .api import _route_backend, prepare_data
-from .types import QPData, Result, Settings
+from .types import BasicVars, QPData, Result, Settings
 
 
 def prepare_batch(problems: Sequence[dict], dtype=jnp.float64) -> QPData:
@@ -35,22 +35,35 @@ def prepare_batch(problems: Sequence[dict], dtype=jnp.float64) -> QPData:
 
 
 @partial(jax.jit, static_argnames=("settings", "cone"))
-def _solve_batch_jit(data: QPData, settings: Settings, cone: bool) -> Result:
-    def one(d):
+def _solve_batch_jit(
+    data: QPData, settings: Settings, cone: bool, warm=None
+) -> Result:
+    def one(d, w):
         sdata, sc = ruiz.equilibrate(
             d,
             max_iter=settings.preconditioner_iter,
             scale_cost=settings.preconditioner_scale_cost,
         )
-        return solver.solve_scaled(sdata, sc, settings, cone)
+        return solver.solve_scaled(sdata, sc, settings, cone, w)
 
     # see api._solve_fresh: f32 matmuls need full-precision accumulation
     with jax.default_matmul_precision("highest"):
-        return jax.vmap(one)(data)
+        if warm is None:
+            return jax.vmap(lambda d: one(d, None))(data)
+        return jax.vmap(one)(data, warm)
+
+
+def warm_from_result(res: Result) -> BasicVars:
+    """Extract the warm-start iterates (x, y, z_*) from a previous
+    ``Result`` (batched or single)."""
+    return BasicVars(
+        x=res.x, y=res.y, z_l=res.z_l, z_u=res.z_u,
+        z_bl=res.z_bl, z_bu=res.z_bu,
+    )
 
 
 def _solve_batch_chunked(
-    data: QPData, settings: Settings, cone: bool, chunk: int
+    data: QPData, settings: Settings, cone: bool, chunk: int, warm=None
 ) -> Result:
     """Host-level loop of jit dispatches over ``chunk``-sized sub-batches.
 
@@ -65,7 +78,11 @@ def _solve_batch_chunked(
     outs = []
     for s in range(0, B, chunk):
         part = jax.tree.map(lambda x: x[s:s + chunk], data)
-        outs.append(_solve_batch_jit(part, settings, cone))
+        wpart = (
+            None if warm is None
+            else jax.tree.map(lambda x: x[s:s + chunk], warm)
+        )
+        outs.append(_solve_batch_jit(part, settings, cone, wpart))
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
@@ -75,6 +92,7 @@ def solve_batch(
     cone: bool = True,
     sharding: Optional[jax.sharding.Sharding] = None,
     chunk: int = 0,
+    warm: Optional[object] = None,
 ) -> Result:
     """Solve a batch of QPs (leading axis on every leaf of ``data``).
 
@@ -86,11 +104,20 @@ def solve_batch(
     as back-to-back jit dispatches of ``chunk``-sized sub-batches (see
     ``_solve_batch_chunked``); throughput is unchanged for compute-bound
     configs while the per-dispatch working set stays bounded.
+
+    ``warm``: optional warm-start iterates — a previous batched ``Result``
+    or a batched ``BasicVars`` — for MPC/SQP re-solves after small data
+    updates.  Typically cuts the iteration count several-fold (no reference
+    analog: the reference always cold-starts).
     """
     data = _route_backend(data, settings)
+    if isinstance(warm, Result):
+        warm = warm_from_result(warm)
     if sharding is not None:
         data = jax.device_put(data, sharding)
+        if warm is not None:
+            warm = jax.device_put(warm, sharding)
     B = data.c.shape[0]
     if chunk and B > chunk:
-        return _solve_batch_chunked(data, settings, cone, chunk)
-    return _solve_batch_jit(data, settings, cone)
+        return _solve_batch_chunked(data, settings, cone, chunk, warm)
+    return _solve_batch_jit(data, settings, cone, warm)

@@ -570,9 +570,43 @@ def factor_ladder(
 # init (solver.hpp:398-577)
 # ---------------------------------------------------------------------------
 
+def _warm_vars(data: QPData, sc: Scaling, warm: BasicVars) -> Vars:
+    """Scale a user-space warm-start point (x, y, z_*) into the equilibrated
+    IPM space (inverse of ``_finalize``) and derive the primal slacks from
+    the constraint values.  Negative duals are clipped to the cone; slacks
+    may come out negative here — ``_init_state``'s shift/recenter pushes the
+    whole point strictly into the interior.
+
+    The reference has no warm-start API (its ``solve()`` always cold-starts,
+    solver.hpp:398-577); this is a TPU-native addition serving the batched
+    MPC/SQP regime, where re-solves after small parameter updates dominate.
+    """
+    x = warm.x / sc.d_x
+    y = warm.y * sc.c / sc.d_y
+
+    def cone_dual(z, d, mask):
+        return jnp.where(mask, jnp.maximum(z * sc.c / d, 0.0), 0.0)
+
+    z_l = cone_dual(warm.z_l, sc.d_z, data.hl_mask)
+    z_u = cone_dual(warm.z_u, sc.d_z, data.hu_mask)
+    z_bl = cone_dual(warm.z_bl, sc.d_b, data.xl_mask)
+    z_bu = cone_dual(warm.z_bu, sc.d_b, data.xu_mask)
+
+    Gx = ops.G_x(data, x) if data.m > 0 else jnp.zeros_like(z_l)
+    bx = data.x_b_scaling * x
+    s_l = jnp.where(data.hl_mask, Gx - data.h_l, 0.0)
+    s_u = jnp.where(data.hu_mask, data.h_u - Gx, 0.0)
+    s_bl = jnp.where(data.xl_mask, bx - data.x_l, 0.0)
+    s_bu = jnp.where(data.xu_mask, data.x_u - bx, 0.0)
+    return Vars(
+        x=x, y=y, z_l=z_l, z_u=z_u, z_bl=z_bl, z_bu=z_bu,
+        s_l=s_l, s_u=s_u, s_bl=s_bl, s_bu=s_bu,
+    )
+
+
 def _init_state(
     data: QPData, sc: Scaling, settings: Settings, has_cone: bool,
-    mixed: bool = False, pre=None,
+    mixed: bool = False, pre=None, warm: BasicVars | None = None,
 ) -> tuple[IPMState, jax.Array]:
     dtype = data.c.dtype
     n, p, m = data.n, data.p, data.m
@@ -590,6 +624,8 @@ def _init_state(
         z_l=one_m_l, z_u=one_m_u, z_bl=one_n_l, z_bu=one_n_u,
         s_l=one_m_l, s_u=one_m_u, s_bl=one_n_l, s_bu=one_n_u,
     )
+    if warm is not None:
+        vars0 = _warm_vars(data, sc, warm)
 
     use_ir = jnp.asarray(
         settings.iterative_refinement_always_enabled or settings.mixed_precision
@@ -598,20 +634,51 @@ def _init_state(
         data, settings, P_diag, vars0, info, use_ir, mixed, pre
     )
 
-    # first KKT solve from the raw problem vectors (solver.hpp:473-492)
-    res = Vars(
-        x=-data.c,
-        y=data.b,
-        z_l=jnp.where(data.hl_mask, -data.h_l, 0.0),
-        z_u=jnp.where(data.hu_mask, data.h_u, 0.0),
-        z_bl=jnp.where(data.xl_mask, -data.x_l, 0.0),
-        z_bu=jnp.where(data.xu_mask, data.x_u, 0.0),
-        s_l=jnp.zeros(m, dtype), s_u=jnp.zeros(m, dtype),
-        s_bl=jnp.zeros(n, dtype), s_bu=jnp.zeros(n, dtype),
-    )
-    vars, _ = kkt.solve(data, settings, ks, res)
+    if warm is not None:
+        # warm start: the iterates ARE the init point; no init KKT solve
+        vars = vars0
+        res = jax.tree.map(jnp.zeros_like, Vars(
+            x=vars0.x, y=vars0.y,
+            z_l=vars0.z_l, z_u=vars0.z_u, z_bl=vars0.z_bl, z_bu=vars0.z_bu,
+            s_l=vars0.s_l, s_u=vars0.s_u, s_bl=vars0.s_bl, s_bu=vars0.s_bu,
+        ))
+    else:
+        # first KKT solve from the raw problem vectors (solver.hpp:473-492)
+        res = Vars(
+            x=-data.c,
+            y=data.b,
+            z_l=jnp.where(data.hl_mask, -data.h_l, 0.0),
+            z_u=jnp.where(data.hu_mask, data.h_u, 0.0),
+            z_bl=jnp.where(data.xl_mask, -data.x_l, 0.0),
+            z_bu=jnp.where(data.xu_mask, data.x_u, 0.0),
+            s_l=jnp.zeros(m, dtype), s_u=jnp.zeros(m, dtype),
+            s_bl=jnp.zeros(n, dtype), s_bu=jnp.zeros(n, dtype),
+        )
+        vars, _ = kkt.solve(data, settings, ks, res)
 
-    if has_cone:
+    if has_cone and warm is not None:
+        # warm interior push: clamp each slack/dual to eps = sqrt(mu_ws)
+        # elementwise.  This PRESERVES the warm primal slacks and duals
+        # (the cold recenter below rebuilds s from z with s*z = mu exactly,
+        # which would discard the warm primal information and start with
+        # huge primal residuals on inactive constraints).
+        eps_ws = jnp.sqrt(jnp.asarray(settings.warm_start_mu, dtype))
+
+        def push(v, mask):
+            return jnp.where(mask, jnp.maximum(v, eps_ws), 0.0)
+
+        vars = vars.replace(
+            s_l=push(vars.s_l, data.hl_mask),
+            s_u=push(vars.s_u, data.hu_mask),
+            s_bl=push(vars.s_bl, data.xl_mask),
+            s_bu=push(vars.s_bu, data.xu_mask),
+            z_l=push(vars.z_l, data.hl_mask),
+            z_u=push(vars.z_u, data.hu_mask),
+            z_bl=push(vars.z_bl, data.xl_mask),
+            z_bu=push(vars.z_bu, data.xu_mask),
+        )
+        info = info.replace(mu=calculate_mu(data, vars))
+    elif has_cone:
         # shift slacks/duals strictly positive and mu-recenter
         # (solver.hpp:504-570)
         neg_mins = jnp.stack([
@@ -1098,14 +1165,18 @@ def _validate_exit(data, sc, settings, st: IPMState) -> IPMState:
 
 
 def solve_scaled(
-    data: QPData, sc: Scaling, settings: Settings, has_cone: bool
+    data: QPData, sc: Scaling, settings: Settings, has_cone: bool,
+    warm: BasicVars | None = None,
 ) -> Result:
     """Run the IPM on already-equilibrated data; returns the *unscaled*
     result (solver.hpp:109-112: solve_impl + unscale_results + restore_dual).
+
+    ``warm``: optional user-space (unscaled) iterates (x, y, z_*) from a
+    previous solve of a nearby problem; see ``_warm_vars``.
     """
     pre = kkt.precompute(data)
     state, failed = _init_state(
-        data, sc, settings, has_cone, settings.mixed_precision, pre
+        data, sc, settings, has_cone, settings.mixed_precision, pre, warm
     )
 
     def cond(st):

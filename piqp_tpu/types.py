@@ -206,6 +206,13 @@ class Settings:
     # max_iter a post-hoc certificate search (proximal drift, violation
     # residuals, phase-1 feasibility QP) can still certify infeasibility.
     verify_certificates: bool = True
+    # Barrier floor for warm-started solves (no reference analog — the
+    # reference always cold-starts, solver.hpp:398-577).  A converged warm
+    # point has near-zero complementarity; recentering it at exactly that mu
+    # makes the first warm iteration too aggressive when the problem data
+    # moved.  sqrt(warm_start_mu) is roughly the distance the point is
+    # pushed off the boundary.
+    warm_start_mu: float = 1e-7
 
     def verify(self) -> bool:
         """Mirror of Settings::verify_settings (settings.hpp:84-106)."""
@@ -226,6 +233,7 @@ class Settings:
             and self.tau > 0
             and self.tau <= 1
             and self.mixed_precision_mu_switch > 0
+            and self.warm_start_mu > 0
             and self.iterative_refinement_eps_abs > 0
             and self.iterative_refinement_eps_rel >= 0
             and self.iterative_refinement_max_iter >= 0
