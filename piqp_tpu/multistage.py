@@ -271,7 +271,11 @@ def _(data: StageQPData, settings=None):
     T, D, Da = data.T, data.D, data.Da
     dt = data.c.dtype
     if _use_cr(T):
-        return _cr_empty(T, D, Da, dt)
+        # placeholder structure selects the factor representation (see
+        # kkt.empty_factor): 5-tuple CR levels route the odd-block potrf
+        # and every block solve through the Pallas kernel
+        pallas = settings is not None and settings.pallas_kernels
+        return _cr_empty(T, D, Da, dt, pallas)
     C = _chunk_count(T)
     if C is not None:
         Q = T // C
@@ -511,7 +515,14 @@ def _bsolve(L, B):
     )
 
 
-def cr_factor(Kd, Ksub, Ka, Kc):
+def _inv_bsolve(Linv, B):
+    """Batched cho_solve via the precomputed triangular inverse:
+    Do^-1 B = Linv' (Linv B) — two batched GEMMs on the MXU instead of two
+    substitution sweeps (the Pallas-kernel solve path, ops/pallas_chol.py)."""
+    return jnp.swapaxes(Linv, -1, -2) @ (Linv @ B)
+
+
+def cr_factor(Kd, Ksub, Ka, Kc, pallas: bool = False):
     """Cyclic-reduction factorization for any horizon length.
 
     Each level eliminates the odd-indexed stages (H_o = T//2 of them) at
@@ -524,7 +535,17 @@ def cr_factor(Kd, Ksub, Ka, Kc):
     Returns (levels, base) where levels[l] = (Lo, X1, X2, XE) holds the
     odd-block Cholesky factors and the substitution operators
     X1 = Do^-1 S_in, X2 = Do^-1 S_out', XE = Do^-1 Eo' of level l, and
-    base = the 1-stage chain factors of the fully reduced system."""
+    base = the 1-stage chain factors of the fully reduced system.
+
+    ``pallas=True`` (settings.pallas_kernels): the batched odd-block potrf
+    runs through the Pallas cholesky-with-inverse kernel and levels become
+    5-tuples (Lo, Lo_inv, X1, X2, XE); every block solve in the factor and
+    in ``cr_solve`` is then a pair of batched GEMMs against Lo_inv instead
+    of a substitution sweep (the batched block-potrf/trsm replacement for
+    the reference's per-stage kernel calls, multistage_kkt.hpp:1253-1352)."""
+    if pallas:
+        from .ops.pallas_chol import cholesky_with_inverse
+
     T = Kd.shape[0]
     levels = []
     ok = jnp.asarray(True)
@@ -536,12 +557,20 @@ def cr_factor(Kd, Ksub, Ka, Kc):
         S_out = Ksub[1::2]        # K[j+1, j]
         Eo, Ee = Ka[1::2], Ka[0::2]
 
-        Lo = jnp.linalg.cholesky(Do)
-        ok = ok & jnp.all(jnp.isfinite(Lo))
-        X1 = _bsolve(Lo, S_in)
-        X2 = _bsolve(Lo, jnp.swapaxes(S_out, -1, -2))
-        XE = _bsolve(Lo, jnp.swapaxes(Eo, -1, -2))
-        levels.append((Lo, X1, X2, XE))
+        if pallas:
+            Lo, Lo_inv = jax.vmap(cholesky_with_inverse)(Do)
+            ok = ok & jnp.all(jnp.isfinite(Lo)) & jnp.all(jnp.isfinite(Lo_inv))
+            X1 = _inv_bsolve(Lo_inv, S_in)
+            X2 = _inv_bsolve(Lo_inv, jnp.swapaxes(S_out, -1, -2))
+            XE = _inv_bsolve(Lo_inv, jnp.swapaxes(Eo, -1, -2))
+            levels.append((Lo, Lo_inv, X1, X2, XE))
+        else:
+            Lo = jnp.linalg.cholesky(Do)
+            ok = ok & jnp.all(jnp.isfinite(Lo))
+            X1 = _bsolve(Lo, S_in)
+            X2 = _bsolve(Lo, jnp.swapaxes(S_out, -1, -2))
+            XE = _bsolve(Lo, jnp.swapaxes(Eo, -1, -2))
+            levels.append((Lo, X1, X2, XE))
 
         left = jnp.einsum("kji,kjl->kil", S_in, X1)
         right = jnp.einsum("kij,kjl->kil", S_out, X2)
@@ -574,7 +603,8 @@ def cr_solve(factors, vs, vg):
     levels up (back-substitute the odd stages)."""
     levels, (Ls, Cs, Fs, Lc) = factors
     v_odds = []
-    for (Lo, X1, X2, XE) in levels:
+    for lev in levels:
+        X1, X2, XE = lev[-3], lev[-2], lev[-1]
         T = vs.shape[0]
         H_o = T // 2
         v_o, v_e = vs[1::2], vs[0::2]
@@ -592,7 +622,8 @@ def cr_solve(factors, vs, vg):
     xg = _tsolve(Lc, cwg, transpose=True)
     x = chain_bwd(Ls, Cs, Fs, ws, xg)  # (1, D)
 
-    for (Lo, X1, X2, XE), v_o in zip(reversed(levels), reversed(v_odds)):
+    for lev, v_o in zip(reversed(levels), reversed(v_odds)):
+        X1, X2, XE = lev[-3], lev[-2], lev[-1]
         x_e = x
         H_o = v_o.shape[0]
         T = H_o + x_e.shape[0]
@@ -600,7 +631,10 @@ def cr_solve(factors, vs, vg):
             x_next = jnp.concatenate([x_e[1:], jnp.zeros_like(x_e[:1])], axis=0)
         else:
             x_next = x_e[1:]
-        x_o = _bsolve(Lo, v_o[..., None])[..., 0]
+        if len(lev) == 5:  # pallas: Do^-1 via GEMMs against Lo_inv
+            x_o = _inv_bsolve(lev[1], v_o[..., None])[..., 0]
+        else:
+            x_o = _bsolve(lev[0], v_o[..., None])[..., 0]
         x_o = x_o - jnp.einsum("kij,kj->ki", X1, x_e[:H_o])
         x_o = x_o - jnp.einsum("kij,kj->ki", X2, x_next)
         x_o = x_o - jnp.einsum("kia,a->ki", XE, xg)
@@ -610,14 +644,17 @@ def cr_solve(factors, vs, vg):
     return x, xg
 
 
-def _cr_empty(T, D, Da, dt):
+def _cr_empty(T, D, Da, dt, pallas: bool = False):
     z = jnp.zeros
     levels = []
     t = T
     while t > 1:
         H = t // 2
-        levels.append((z((H, D, D), dt), z((H, D, D), dt),
-                       z((H, D, D), dt), z((H, D, Da), dt)))
+        lev = (z((H, D, D), dt), z((H, D, D), dt),
+               z((H, D, D), dt), z((H, D, Da), dt))
+        if pallas:  # 5-tuple: (Lo, Lo_inv, X1, X2, XE)
+            lev = (z((H, D, D), dt),) + lev
+        levels.append(lev)
         t -= H
     base = (z((1, D, D), dt), z((1, D, D), dt), z((1, Da, D), dt),
             z((Da, Da), dt))
@@ -638,7 +675,9 @@ def _(data: StageQPData, ks, mixed: bool = False, pre=None):
             Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
         )
     if _use_cr(data.T):
-        factors, ok = cr_factor(Kd, Ksub, Ka, Kc)
+        # the placeholder's level arity picks the kernel (empty_factor)
+        pallas = len(ks.L[0][0]) == 5
+        factors, ok = cr_factor(Kd, Ksub, Ka, Kc, pallas)
         return ks.replace(L=factors), ok
     C = _chunk_count(data.T)
     if C is not None:

@@ -106,3 +106,35 @@ def test_batched_solve_pallas(mixed):
     for i in range(B):
         one = jax.tree.map(lambda x: x[i], res)
         check_optimality(problems[i], one, tol=1e-6)
+
+
+@pytest.mark.parametrize("T", [17, 32])
+def test_multistage_cr_pallas(T):
+    """CR scheme with the Pallas block-potrf path (5-tuple levels) matches
+    the XLA route and solves to optimality."""
+    from piqp_tpu import multistage as ms
+    from piqp_tpu.api import solve_prepared
+
+    sdata = ms.random_multistage_qp(T=T, D=4, Da=2, ra=2, rg=2, seed=31)
+    res_p = solve_prepared(sdata, Settings(pallas_kernels=True))
+    res_x = solve_prepared(sdata, Settings())
+    assert int(res_p.info.status) == int(Status.SOLVED)
+    assert int(res_x.info.status) == int(Status.SOLVED)
+    np.testing.assert_allclose(
+        np.asarray(res_p.x), np.asarray(res_x.x), atol=1e-7, rtol=1e-6
+    )
+
+
+def test_multistage_cr_pallas_mixed():
+    from piqp_tpu import multistage as ms
+    from piqp_tpu.api import solve_prepared
+
+    sdata = ms.random_multistage_qp(T=32, D=4, Da=2, ra=2, rg=2, seed=33)
+    res_p = solve_prepared(
+        sdata, Settings(pallas_kernels=True, mixed_precision=True)
+    )
+    res_x = solve_prepared(sdata, Settings())
+    assert int(res_p.info.status) == int(Status.SOLVED)
+    np.testing.assert_allclose(
+        np.asarray(res_p.x), np.asarray(res_x.x), atol=1e-6, rtol=1e-5
+    )
