@@ -77,13 +77,25 @@ def bench_multistage(name):
     for o in outs:
         assert int(o.info.status) == Status.SOLVED
 
+    # warm-started re-solves seeded from the base solve (the actual SQP
+    # inner-loop pattern; compile warmup happened above via `res`)
+    wres = solve_prepared(sdatas[0], warm=res)
+    np.asarray(wres.x)
+    t0 = time.perf_counter()
+    wouts = [solve_prepared(sd, warm=res) for sd in sdatas]
+    for o in wouts:
+        np.asarray(o.x)
+    warm_ms = (time.perf_counter() - t0) / REPS * 1e3
+
     return dict(
         fixture=name,
         backend="multistage_device",
         setup_s=round(setup_time, 3),
         update_ms=round(float(np.median(upd_ts)) * 1e3, 2),
         solve_ms=round(solve_ms, 2),
+        warm_solve_ms=round(warm_ms, 2),
         iters=int(outs[-1].info.iter),
+        warm_iters=int(wouts[-1].info.iter),
         device=str(jax.devices()[0]),
     )
 
@@ -123,13 +135,27 @@ def bench_dense_device(name):
     for o in outs:
         assert int(o.info.status) == Status.SOLVED
 
+    # warm-started re-solves seeded from the base solve
+    from piqp_tpu.batch import warm_from_result
+
+    warm = warm_from_result(res)
+    wres, _ = _solve_fresh(datas[0], settings, True, warm)  # compile
+    np.asarray(wres.x)
+    t0 = time.perf_counter()
+    wouts = [_solve_fresh(d, settings, True, warm)[0] for d in datas]
+    for o in wouts:
+        np.asarray(o.x)
+    warm_ms = (time.perf_counter() - t0) / REPS * 1e3
+
     return dict(
         fixture=name,
         backend="dense_device_mixed",
         setup_s=round(setup_time, 3),
         update_ms=round(float(np.median(upd_ts)) * 1e3, 2),
         solve_ms=round(solve_ms, 2),
+        warm_solve_ms=round(warm_ms, 2),
         iters=int(outs[-1].info.iter),
+        warm_iters=int(wouts[-1].info.iter),
         device=str(jax.devices()[0]),
     )
 

@@ -199,15 +199,23 @@ def _solve_reuse(
 
 
 def solve_prepared(
-    data: QPData, settings: Settings = Settings(), scaling: Optional[Scaling] = None
+    data: QPData, settings: Settings = Settings(),
+    scaling: Optional[Scaling] = None, warm=None,
 ) -> Result:
     """Functional solve of a prepared problem. jit/vmap-compatible building
-    block (use `_solve_fresh` pieces directly for full control)."""
+    block (use `_solve_fresh` pieces directly for full control).
+
+    ``warm``: previous ``Result`` (or ``BasicVars``) of a nearby problem to
+    warm-start from (solver._warm_vars; works for every backend incl.
+    multistage — the iterates share the data representation's layout)."""
     data = _route_backend(data, settings)
     cone = has_cone(data)
+    if warm is not None and isinstance(warm, Result):
+        warm = BasicVars(x=warm.x, y=warm.y, z_l=warm.z_l, z_u=warm.z_u,
+                         z_bl=warm.z_bl, z_bu=warm.z_bu)
     if scaling is not None:
-        return _solve_reuse(data, scaling, settings, cone)
-    result, _ = _solve_fresh(data, settings, cone)
+        return _solve_reuse(data, scaling, settings, cone, warm)
+    result, _ = _solve_fresh(data, settings, cone, warm)
     return result
 
 

@@ -130,3 +130,20 @@ def test_warm_resolve_mixed_precision():
     assert st_c == Status.SOLVED and st_w == Status.SOLVED
     assert it_w <= it_c
     np.testing.assert_allclose(x_w, x_c, rtol=1e-6, atol=1e-7)
+
+
+def test_multistage_warm_resolve():
+    from piqp_tpu import multistage as ms
+    from piqp_tpu.api import solve_prepared
+
+    sdata = ms.random_multistage_qp(T=32, D=4, Da=2, ra=2, rg=2, seed=31)
+    cold = solve_prepared(sdata)
+    assert int(cold.info.status) == Status.SOLVED
+    sdata2 = sdata.replace(c=sdata.c * 1.01)
+    ref = solve_prepared(sdata2)
+    warm = solve_prepared(sdata2, warm=cold)
+    assert int(warm.info.status) == Status.SOLVED
+    assert int(warm.info.iter) < int(ref.info.iter)
+    np.testing.assert_allclose(
+        np.asarray(warm.x), np.asarray(ref.x), rtol=1e-4, atol=1e-5
+    )
