@@ -141,7 +141,11 @@ class SparseSolver(DenseSolver):
             _to_dense(P), c, _to_dense(A), b, _to_dense(G), h_l, h_u, x_l, x_u
         )
 
-    def solve(self) -> Status:
+    def solve(self, warm_start: bool = False) -> Status:
+        """Solve; ``warm_start=True`` seeds the IPM from the previous
+        solve's iterates on the device backends (dense-routed and
+        multistage).  The host fallback backend ignores it (its NumPy IPM
+        cold-starts, same as the reference)."""
         if self._host_raw is not None:
             if not self.settings.verify():
                 return Status.INVALID_SETTINGS
@@ -156,12 +160,19 @@ class SparseSolver(DenseSolver):
             self._first_run = False
             return Status(int(res.info.status))
         if self._stage_data is None:
-            return super().solve()
+            return super().solve(warm_start)
         if not self.settings.verify():
             return Status.INVALID_SETTINGS
         cone = self._cone
+        warm = None
+        if warm_start and getattr(self, "_stage_result", None) is not None:
+            r = self._stage_result  # stage-layout iterates (pre-permutation)
+            from .types import BasicVars
+
+            warm = BasicVars(x=r.x, y=r.y, z_l=r.z_l, z_u=r.z_u,
+                             z_bl=r.z_bl, z_bu=r.z_bu)
         t0 = time.perf_counter()
-        res, _ = _solve_fresh(self._stage_data, self.settings, cone)
+        res, _ = _solve_fresh(self._stage_data, self.settings, cone, warm)
         res = jax.block_until_ready(res)
         solve_time = time.perf_counter() - t0
         if self.settings.compute_timings:
@@ -180,6 +191,7 @@ class SparseSolver(DenseSolver):
                 kkt_solve_time=f(t_solve),
                 run_time=f(solve_time),
             ))
+        self._stage_result = res
         self._result = _PermutedResult(res, self._layout)
         self._first_run = False
         return Status(int(res.info.status))

@@ -147,3 +147,16 @@ def test_multistage_warm_resolve():
     np.testing.assert_allclose(
         np.asarray(warm.x), np.asarray(ref.x), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sparse_solver_warm_resolve():
+    import scipy.sparse as sp
+    from piqp_tpu import SparseSolver
+    from piqp_tpu.utils.random import sparse_strongly_convex_qp
+
+    prob = sparse_strongly_convex_qp(40, 10, 20, seed=13)
+    s = SparseSolver()
+    s.setup(**prob)
+    assert s.solve() == Status.SOLVED
+    s.update(c=np.asarray(prob["c"]) * 1.01)
+    assert s.solve(warm_start=True) == Status.SOLVED
