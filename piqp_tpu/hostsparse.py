@@ -640,10 +640,15 @@ def _msmax(v, mask):
 
 
 def solve_host(
-    data: HostData, settings: Settings = Settings(), verbose: bool = False
+    data: HostData, settings: Settings = Settings(), verbose: bool = False,
+    warm=None,
 ) -> HostResult:
     """Host-side proximal IPM; mirrors solver.py::solve_scaled step-for-step
-    (itself mirroring solve_impl, solver.hpp:379-882)."""
+    (itself mirroring solve_impl, solver.hpp:379-882).
+
+    ``warm``: optional previous unscaled iterates (object with x, y, z_l,
+    z_u, z_bl, z_bu — e.g. a prior HostResult) to seed the IPM from; the
+    twin of solver._warm_vars on the device path."""
     sdata, sc = equilibrate_host(
         data, max_iter=settings.preconditioner_iter,
         scale_cost=settings.preconditioner_scale_cost,
@@ -705,22 +710,52 @@ def solve_host(
             return False
         return False
 
+    if warm is not None:
+        # scale the user-space warm point (inverse of _finalize_host) and
+        # rebuild slacks from the constraint values
+        x = np.asarray(warm.x) / sc.d_x
+        v.x = x
+        v.y = np.asarray(warm.y) * sc.c / sc.d_y
+        v.z_l = np.where(d.hl_mask, np.maximum(np.asarray(warm.z_l) * sc.c / np.where(sc.d_z == 0, 1, sc.d_z), 0.0), 0.0)
+        v.z_u = np.where(d.hu_mask, np.maximum(np.asarray(warm.z_u) * sc.c / np.where(sc.d_z == 0, 1, sc.d_z), 0.0), 0.0)
+        v.z_bl = np.where(d.xl_mask, np.maximum(np.asarray(warm.z_bl) * sc.c / sc.d_b, 0.0), 0.0)
+        v.z_bu = np.where(d.xu_mask, np.maximum(np.asarray(warm.z_bu) * sc.c / sc.d_b, 0.0), 0.0)
+        Gx = d.G @ x if m > 0 else np.zeros(0)
+        bx = d.x_b_scaling * x
+        v.s_l = np.where(d.hl_mask, Gx - d.h_l, 0.0)
+        v.s_u = np.where(d.hu_mask, d.h_u - Gx, 0.0)
+        v.s_bl = np.where(d.xl_mask, bx - d.x_l, 0.0)
+        v.s_bu = np.where(d.xu_mask, d.x_u - bx, 0.0)
+        if has_cone:
+            # elementwise interior push BEFORE the factorization (negative
+            # warm slacks must not reach the KKT scalings; see solver.py's
+            # warm branch — the cold recenter would discard the warm slacks)
+            eps_ws = np.sqrt(settings.warm_start_mu)
+            for name, mask in (("s_l", d.hl_mask), ("s_u", d.hu_mask),
+                               ("s_bl", d.xl_mask), ("s_bu", d.xu_mask),
+                               ("z_l", d.hl_mask), ("z_u", d.hu_mask),
+                               ("z_bl", d.xl_mask), ("z_bu", d.xu_mask)):
+                setattr(v, name,
+                        np.where(mask, np.maximum(getattr(v, name), eps_ws), 0.0))
+            info.mu = calc_mu(v)
+
     if not factor_ladder():
         info.status = int(Status.NUMERICS)
         _fill_times()
         return _finalize_host(d, sc, v, info)
 
-    # first solve from raw problem vectors (solver.hpp:473-492)
-    rhs = _Vars(
-        -d.c, d.b.copy(),
-        np.where(d.hl_mask, -d.h_l, 0.0), np.where(d.hu_mask, d.h_u, 0.0),
-        np.where(d.xl_mask, -d.x_l, 0.0), np.where(d.xu_mask, d.x_u, 0.0),
-        np.zeros(m), np.zeros(m), np.zeros(n), np.zeros(n),
-    )
-    v_new, _ = kkt.solve(rhs)
-    v = v_new
+    if warm is None:
+        # first solve from raw problem vectors (solver.hpp:473-492)
+        rhs = _Vars(
+            -d.c, d.b.copy(),
+            np.where(d.hl_mask, -d.h_l, 0.0), np.where(d.hu_mask, d.h_u, 0.0),
+            np.where(d.xl_mask, -d.x_l, 0.0), np.where(d.xu_mask, d.x_u, 0.0),
+            np.zeros(m), np.zeros(m), np.zeros(n), np.zeros(n),
+        )
+        v_new, _ = kkt.solve(rhs)
+        v = v_new
 
-    if has_cone:
+    if has_cone and warm is None:
         delta_s = max(0.0, -min(v.s_l.min(initial=0.0), v.s_u.min(initial=0.0),
                                 v.s_bl.min(initial=0.0), v.s_bu.min(initial=0.0)))
         delta_z = max(0.0, -min(v.z_l.min(initial=0.0), v.z_u.min(initial=0.0),
@@ -1176,9 +1211,10 @@ def _finalize_host(d: HostData, sc: HostScaling, v: _Vars, info: HostInfo) -> Ho
 
 def solve_sparse_host(
     P, c, A=None, b=None, G=None, h_l=None, h_u=None, x_l=None, x_u=None,
-    settings: Settings = Settings(), verbose: bool = False,
+    settings: Settings = Settings(), verbose: bool = False, warm=None,
 ) -> HostResult:
     """One-shot host sparse solve."""
     return solve_host(
-        prepare_sparse(P, c, A, b, G, h_l, h_u, x_l, x_u), settings, verbose
+        prepare_sparse(P, c, A, b, G, h_l, h_u, x_l, x_u), settings, verbose,
+        warm
     )

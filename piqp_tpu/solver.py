@@ -626,6 +626,28 @@ def _init_state(
     )
     if warm is not None:
         vars0 = _warm_vars(data, sc, warm)
+        if has_cone:
+            # warm interior push BEFORE the factorization: negative or zero
+            # warm slacks must not reach the KKT scalings.  Elementwise
+            # sqrt(mu_ws) clamp PRESERVES the warm primal slacks and duals
+            # (the cold recenter below rebuilds s from z with s*z = mu,
+            # which would discard the warm primal information and start
+            # with huge primal residuals on inactive constraints).
+            eps_ws = jnp.sqrt(jnp.asarray(settings.warm_start_mu, dtype))
+
+            def push(v, mask):
+                return jnp.where(mask, jnp.maximum(v, eps_ws), 0.0)
+
+            vars0 = vars0.replace(
+                s_l=push(vars0.s_l, data.hl_mask),
+                s_u=push(vars0.s_u, data.hu_mask),
+                s_bl=push(vars0.s_bl, data.xl_mask),
+                s_bu=push(vars0.s_bu, data.xu_mask),
+                z_l=push(vars0.z_l, data.hl_mask),
+                z_u=push(vars0.z_u, data.hu_mask),
+                z_bl=push(vars0.z_bl, data.xl_mask),
+                z_bu=push(vars0.z_bu, data.xu_mask),
+            )
 
     use_ir = jnp.asarray(
         settings.iterative_refinement_always_enabled or settings.mixed_precision
@@ -657,26 +679,7 @@ def _init_state(
         vars, _ = kkt.solve(data, settings, ks, res)
 
     if has_cone and warm is not None:
-        # warm interior push: clamp each slack/dual to eps = sqrt(mu_ws)
-        # elementwise.  This PRESERVES the warm primal slacks and duals
-        # (the cold recenter below rebuilds s from z with s*z = mu exactly,
-        # which would discard the warm primal information and start with
-        # huge primal residuals on inactive constraints).
-        eps_ws = jnp.sqrt(jnp.asarray(settings.warm_start_mu, dtype))
-
-        def push(v, mask):
-            return jnp.where(mask, jnp.maximum(v, eps_ws), 0.0)
-
-        vars = vars.replace(
-            s_l=push(vars.s_l, data.hl_mask),
-            s_u=push(vars.s_u, data.hu_mask),
-            s_bl=push(vars.s_bl, data.xl_mask),
-            s_bu=push(vars.s_bu, data.xu_mask),
-            z_l=push(vars.z_l, data.hl_mask),
-            z_u=push(vars.z_u, data.hu_mask),
-            z_bl=push(vars.z_bl, data.xl_mask),
-            z_bu=push(vars.z_bu, data.xu_mask),
-        )
+        # interior push already applied to vars0 above (pre-factorization)
         info = info.replace(mu=calculate_mu(data, vars))
     elif has_cone:
         # shift slacks/duals strictly positive and mu-recenter

@@ -143,18 +143,23 @@ class SparseSolver(DenseSolver):
 
     def solve(self, warm_start: bool = False) -> Status:
         """Solve; ``warm_start=True`` seeds the IPM from the previous
-        solve's iterates on the device backends (dense-routed and
-        multistage).  The host fallback backend ignores it (its NumPy IPM
-        cold-starts, same as the reference)."""
+        solve's iterates (all backends: dense-routed, multistage, and the
+        host fallback — no reference analog, solver.hpp:398-577)."""
         if self._host_raw is not None:
             if not self.settings.verify():
                 return Status.INVALID_SETTINGS
-            from .hostsparse import solve_sparse_host
+            from .hostsparse import HostResult, solve_sparse_host
 
+            hwarm = (
+                self._result
+                if warm_start and isinstance(self._result, HostResult)
+                else None
+            )
             res = solve_sparse_host(
                 **self._host_raw,
                 settings=self.settings,
                 verbose=self.settings.verbose,
+                warm=hwarm,
             )
             self._result = res
             self._first_run = False

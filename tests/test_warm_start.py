@@ -160,3 +160,18 @@ def test_sparse_solver_warm_resolve():
     assert s.solve() == Status.SOLVED
     s.update(c=np.asarray(prob["c"]) * 1.01)
     assert s.solve(warm_start=True) == Status.SOLVED
+
+
+def test_host_warm_resolve():
+    from piqp_tpu.hostsparse import solve_sparse_host
+
+    prob = dense_strongly_convex_qp(40, 10, 20, seed=17)
+    cold = solve_sparse_host(**prob)
+    assert int(cold.info.status) == Status.SOLVED
+    prob2 = dict(prob)
+    prob2["c"] = np.asarray(prob["c"]) * 1.01
+    ref = solve_sparse_host(**prob2)
+    warm = solve_sparse_host(**prob2, warm=cold)
+    assert int(warm.info.status) == Status.SOLVED
+    assert warm.info.iter < ref.info.iter
+    np.testing.assert_allclose(warm.x, ref.x, rtol=1e-5, atol=1e-6)
