@@ -515,9 +515,12 @@ static bool copy_vec(PyObject* np, PyObject* obj, std::vector<double>& out)
     return true;
 }
 
-int piqp_tpu_solve(piqp_tpu_workspace* w)
+static int solve_impl(piqp_tpu_workspace* w, int warm_start)
 {
-    PyObject* status = PyObject_CallMethod(w->solver, "solve", nullptr);
+    PyObject* status =
+        warm_start
+            ? PyObject_CallMethod(w->solver, "solve", "i", 1)
+            : PyObject_CallMethod(w->solver, "solve", nullptr);
     if (!status) {
         set_err_from_python();
         return -100;
@@ -640,6 +643,13 @@ int piqp_tpu_solve(piqp_tpu_workspace* w)
     w->info.status = (int)code;
     w->solved_once = true;
     return (int)code;
+}
+
+int piqp_tpu_solve(piqp_tpu_workspace* w) { return solve_impl(w, 0); }
+
+int piqp_tpu_solve_warm(piqp_tpu_workspace* w)
+{
+    return solve_impl(w, w->solved_once ? 1 : 0);
 }
 
 int piqp_tpu_get_result(piqp_tpu_workspace* w, piqp_tpu_result* out)

@@ -219,6 +219,12 @@ int piqp_tpu_get_settings(piqp_tpu_workspace* w, piqp_tpu_settings* out);
 /* Solve; returns the status code (1 = solved) or -100 on internal error. */
 int piqp_tpu_solve(piqp_tpu_workspace* w);
 
+/* Solve seeded from the previous solve's iterates (extension over the
+ * reference C API, which always cold-starts; ~3x fewer IPM iterations on
+ * small data updates — see docs/batching.md).  Falls back to a cold solve
+ * when no previous result exists.  Returns the status code. */
+int piqp_tpu_solve_warm(piqp_tpu_workspace* w);
+
 /* Result views for the last solve.  Returns 0 on success. */
 int piqp_tpu_get_result(piqp_tpu_workspace* w, piqp_tpu_result* out);
 

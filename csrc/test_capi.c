@@ -67,9 +67,9 @@ int main(void)
         fprintf(stderr, "update failed: %s\n", piqp_tpu_last_error());
         return 1;
     }
-    status = piqp_tpu_solve(w);
+    status = piqp_tpu_solve_warm(w); /* seeds from the previous iterates */
     if (status != 1) {
-        fprintf(stderr, "re-solve failed: status=%d\n", status);
+        fprintf(stderr, "warm re-solve failed: status=%d\n", status);
         return 1;
     }
     piqp_tpu_get_result(w, &res);
