@@ -355,3 +355,20 @@ def test_update_values_matches_fresh_scatter():
     assert np.array_equal(up_layout.var_map, layout.var_map)
     # re-scatter skips detection: expect a large speedup
     assert update_t < setup_t, (update_t, setup_t)
+
+
+def test_scenario_program_consensus_arrow():
+    """BASELINE config 5 shape: an S-scenario two-stage stochastic QP with
+    consensus coupling through the arrow block solves via the multistage
+    backend and matches the dense solve (benchmarks/scenario_bench.py)."""
+    from benchmarks.scenario_bench import build
+
+    sdata = build(24, seed=3)
+    res = solve_prepared(sdata)
+    assert int(res.info.status) == Status.SOLVED
+    ddata = ms.to_dense(sdata)
+    res_d = solve_prepared(ddata)
+    assert int(res_d.info.status) == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res_d.x), atol=1e-7, rtol=1e-6
+    )
