@@ -163,20 +163,26 @@ def bench_dense_device(name):
 def bench_host(name):
     prob = load_mat(os.path.join(DATA, name + ".mat"), sparse=True)
     rng = np.random.default_rng(0)
-    res = solve_sparse_host(**prob)
-    assert res.info.status == int(Status.SOLVED)
-    solve_ts = []
+    base = solve_sparse_host(**prob)
+    assert base.info.status == int(Status.SOLVED)
+    solve_ts, warm_ts = [], []
+    res = wres = base
     for _ in range(REPS):
         new = _perturb(prob, rng)
         t0 = time.perf_counter()
         res = solve_sparse_host(**new)
         solve_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        wres = solve_sparse_host(**new, warm=base)
+        warm_ts.append(time.perf_counter() - t0)
     return dict(
         fixture=name,
         backend="sparse_host",
         update_ms=0.0,  # host path re-prepares inside solve
         solve_ms=round(float(np.median(solve_ts)) * 1e3, 2),
+        warm_solve_ms=round(float(np.median(warm_ts)) * 1e3, 2),
         iters=res.info.iter,
+        warm_iters=wres.info.iter,
     )
 
 
