@@ -652,9 +652,19 @@ def _init_state(
     use_ir = jnp.asarray(
         settings.iterative_refinement_always_enabled or settings.mixed_precision
     )
-    ks, info, use_ir, failed = factor_ladder(
-        data, settings, P_diag, vars0, info, use_ir, mixed, pre
-    )
+    if warm is not None:
+        # warm start performs no init KKT solve, and the first iteration
+        # refactors before its first solve — so the init factorization is
+        # dead work (10-25% of a short warm solve).  Build the KKT state
+        # with a placeholder factor instead.
+        ks = kkt.compute_scalings(
+            data, settings, vars0, info.rho, info.delta, use_ir, P_diag
+        )  # leaves L as the empty_factor placeholder
+        failed = jnp.asarray(False)
+    else:
+        ks, info, use_ir, failed = factor_ladder(
+            data, settings, P_diag, vars0, info, use_ir, mixed, pre
+        )
 
     if warm is not None:
         # warm start: the iterates ARE the init point; no init KKT solve
