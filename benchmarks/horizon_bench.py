@@ -72,12 +72,24 @@ def main():
         t0 = time.perf_counter()
         res = solve_horizon_sharded(sdata, mesh, "sp")
         np.asarray(res.x)
-        dt = time.perf_counter() - t0
+        cold_dt = time.perf_counter() - t0
+
+        # warm-started MPC re-solve after a cost shift
+        sdata2 = sdata.replace(c=sdata.c * 1.01)
+        resw = solve_horizon_sharded(sdata2, mesh, "sp", warm=res)  # compile
+        np.asarray(resw.x)
+        t0 = time.perf_counter()
+        resw = solve_horizon_sharded(sdata2, mesh, "sp", warm=res)
+        np.asarray(resw.x)
+        warm_dt = time.perf_counter() - t0
         print(json.dumps(dict(
             mode="horizon_sharded", T=T, devices=len(mesh.devices.ravel()),
             platform=jax.default_backend(),
             status=int(res.info.status), iters=int(res.info.iter),
-            warm_solve_ms=round(dt * 1e3, 2),
+            solve_ms=round(cold_dt * 1e3, 2),
+            warm_status=int(resw.info.status),
+            warm_iters=int(resw.info.iter),
+            warm_solve_ms=round(warm_dt * 1e3, 2),
         )))
         return
 

@@ -271,4 +271,5 @@ def solve_horizon_sharded(
     axis: str = ...,
     settings: Settings = ...,
     has_cone: bool = ...,
+    warm: Optional[Any] = ...,
 ) -> Result: ...

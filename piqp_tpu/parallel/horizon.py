@@ -348,7 +348,7 @@ def _(data: ShardedStageQPData, ks, v):
 
 @partial(jax.jit, static_argnames=("settings", "has_cone"))
 def _solve_sharded_jit(sdata: "ShardedStageQPData", settings: Settings,
-                       has_cone: bool) -> Result:
+                       has_cone: bool, warm=None) -> Result:
     """Module-level jitted sharded solve: the cache key is (leaf shapes,
     mesh/axis aux data, settings, has_cone), so repeated MPC-loop calls hit
     the compiled executable instead of retracing a fresh closure per call
@@ -362,7 +362,7 @@ def _solve_sharded_jit(sdata: "ShardedStageQPData", settings: Settings,
             max_iter=settings.preconditioner_iter,
             scale_cost=settings.preconditioner_scale_cost,
         )
-        return solver.solve_scaled(sd, sc, settings, has_cone)
+        return solver.solve_scaled(sd, sc, settings, has_cone, warm)
 
 
 def solve_horizon_sharded(
@@ -371,6 +371,7 @@ def solve_horizon_sharded(
     axis: str = "sp",
     settings: Settings = Settings(),
     has_cone: bool = True,
+    warm=None,
 ) -> Result:
     """One-shot horizon-sharded multistage solve (BASELINE.md config 4).
 
@@ -378,13 +379,30 @@ def solve_horizon_sharded(
     full IPM with the partitioned factorization.  The result is in the
     (possibly padded) stage layout; padded coordinates solve an isolated
     identity sub-problem and can be dropped by the caller.
+
+    ``warm``: a previous ``Result`` (or ``BasicVars``) from this function on
+    a nearby problem — the MPC-loop pattern: solve, shift/update data, warm
+    re-solve.  Warm iterates must be in the same (padded) stage layout this
+    function returns; a warm/wrong-layout mismatch raises.
     """
+    from ..types import BasicVars
+
     sdata = data if isinstance(data, ShardedStageQPData) else shard_horizon(
         data, mesh, axis
     )
+    if warm is not None:
+        if isinstance(warm, Result):
+            warm = BasicVars(x=warm.x, y=warm.y, z_l=warm.z_l, z_u=warm.z_u,
+                             z_bl=warm.z_bl, z_bu=warm.z_bu)
+        n_pad = sdata.T * sdata.D + sdata.Da
+        if warm.x.shape[-1] != n_pad:
+            raise ValueError(
+                f"warm.x has {warm.x.shape[-1]} coords, expected {n_pad} "
+                "(the padded stage layout returned by solve_horizon_sharded)"
+            )
 
     with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
-        return _solve_sharded_jit(sdata, settings, has_cone)
+        return _solve_sharded_jit(sdata, settings, has_cone, warm)
 
 
 class _null:

@@ -165,6 +165,34 @@ def test_2d_fleet_dp_x_sp():
     assert np.all(np.asarray(res.info.status) == 1)
 
 
+def test_sharded_warm_restart_mpc_loop():
+    """Warm-started sharded re-solve (the MPC pattern: solve, perturb data,
+    warm re-solve) converges in fewer iterations to the same solution."""
+    sdata = ms.random_multistage_qp(T=8, D=3, Da=2, ra=2, rg=2, seed=11)
+    mesh = _mesh()
+    res0 = solve_horizon_sharded(sdata, mesh)
+    assert int(res0.info.status) == Status.SOLVED
+
+    bumped = sdata.replace(c=sdata.c * 1.02)
+    res_cold = solve_horizon_sharded(bumped, mesh)
+    res_warm = solve_horizon_sharded(bumped, mesh, warm=res0)
+    assert int(res_warm.info.status) == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(res_warm.x), np.asarray(res_cold.x), rtol=1e-6, atol=1e-7
+    )
+    assert int(res_warm.info.iter) <= int(res_cold.info.iter)
+
+    # layout mismatch (unpadded warm vars) is rejected with a clear error
+    from piqp_tpu.types import BasicVars
+
+    short = BasicVars(
+        x=res0.x[:-1], y=res0.y, z_l=res0.z_l, z_u=res0.z_u,
+        z_bl=res0.z_bl[:-1], z_bu=res0.z_bu[:-1],
+    )
+    with pytest.raises(ValueError, match="padded stage layout"):
+        solve_horizon_sharded(bumped, mesh, warm=short)
+
+
 def test_sharded_solve_does_not_retrace():
     """Repeated solve_horizon_sharded calls (the MPC loop) must hit the
     jit cache — round 1 rebuilt a fresh closure per call and recompiled
