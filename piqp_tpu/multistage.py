@@ -282,8 +282,21 @@ def _(data: StageQPData, settings=None):
         Qi = Q - 1
         W = 2 * D + Da
         z = jnp.zeros
+        if _use_cr(Qi):
+            # chunk interiors factor by cyclic reduction (C-batched);
+            # level arity again selects the Pallas kernel
+            pallas = settings is not None and settings.pallas_kernels
+            local = jax.tree.map(
+                lambda a: jnp.zeros((C,) + a.shape, dt),
+                _cr_chain_empty(Qi, D, W, dt, pallas),
+            )
+        else:
+            local = (
+                z((C, Qi, D, D), dt), z((C, Qi, D, D), dt),
+                z((C, Qi, W, D), dt),
+            )
         return (
-            z((C, Qi, D, D), dt), z((C, Qi, D, D), dt), z((C, Qi, W, D), dt),
+            local,
             z((C, D, D), dt), z((C, D, D), dt), z((C, Da, D), dt),
             z((Da, Da), dt),
         )
@@ -398,7 +411,7 @@ def _chunk_count(T: int):
     return best if best and best > 1 else None
 
 
-def _chunked_factor(Kd, Ksub, Ka, Kc, C):
+def _chunked_factor(Kd, Ksub, Ka, Kc, C, pallas: bool = False):
     T, D, _ = Kd.shape
     Da = Kc.shape[0]
     Q = T // C
@@ -420,7 +433,17 @@ def _chunked_factor(Kd, Ksub, Ka, Kc, C):
     Ea = Ea.at[:, Qi - 1, D:2 * D, :].set(KsubC[:, Qi - 1])
 
     Ksub_int = KsubC[:, :Qi].at[:, Qi - 1].set(0.0)
-    Ls, Cs, Fs, Sacc = jax.vmap(chain_factor)(KdC[:, :Qi], Ksub_int, Ea)
+    if _use_cr(Qi):
+        # interiors by C-batched cyclic reduction: sequential depth drops
+        # from Qi scan steps to log2(Qi) levels of (C*H)-batched block ops
+        local, Sacc, ok_i = jax.vmap(
+            lambda kd, ks, ka: cr_chain_factor(kd, ks, ka, pallas)
+        )(KdC[:, :Qi], Ksub_int, Ea)
+        ok_int = jnp.all(ok_i)
+    else:
+        Ls, Cs, Fs, Sacc = jax.vmap(chain_factor)(KdC[:, :Qi], Ksub_int, Ea)
+        local = (Ls, Cs, Fs)
+        ok_int = jnp.all(jnp.isfinite(Ls))
 
     # coarse separator system (same algebra as horizon._chunk_factor)
     S_pp = Sacc[:, :D, :D]
@@ -438,9 +461,9 @@ def _chunked_factor(Kd, Ksub, Ka, Kc, C):
     cLs, cCs, cFs, cacc = chain_factor(cKd, cKsub, cKa)
     cLc = jnp.linalg.cholesky(cKc - cacc)
 
-    ok = jnp.logical_and(jnp.all(jnp.isfinite(Ls)), jnp.all(jnp.isfinite(cLs)))
+    ok = jnp.logical_and(ok_int, jnp.all(jnp.isfinite(cLs)))
     ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(cLc)))
-    return (Ls, Cs, Fs, cLs, cCs, cFs, cLc), ok
+    return (local, cLs, cCs, cFs, cLc), ok
 
 
 def _shift_up_c(a):
@@ -449,13 +472,18 @@ def _shift_up_c(a):
 
 
 def _chunked_solve(factors, vs_flat, vg, T, D, Da):
-    Ls, Cs, Fs, cLs, cCs, cFs, cLc = factors
-    C, Qi = Ls.shape[0], Ls.shape[1]
-    Q = Qi + 1
-    dt = Ls.dtype
+    local, cLs, cCs, cFs, cLc = factors
+    cr = isinstance(local[0], tuple)  # (levels, base) vs (Ls, Cs, Fs)
+    C = cLs.shape[0]
+    Q = T // C
+    Qi = Q - 1
     vsC = vs_flat.reshape(C, Q, D)
 
-    ws, gacc = jax.vmap(chain_fwd)(Ls, Cs, Fs, vsC[:, :Qi])  # gacc (C, W)
+    if cr:
+        state, gacc = jax.vmap(cr_chain_fwd)(local, vsC[:, :Qi])
+    else:
+        Ls, Cs, Fs = local
+        ws, gacc = jax.vmap(chain_fwd)(Ls, Cs, Fs, vsC[:, :Qi])  # gacc (C, W)
 
     c_rhs = vsC[:, Q - 1] - gacc[:, D:2 * D] - _shift_up_c(gacc[:, :D])
     c_rhs_g = vg - jnp.sum(gacc[:, 2 * D:], axis=0)
@@ -469,7 +497,10 @@ def _chunked_solve(factors, vs_flat, vg, T, D, Da):
     xa = jnp.concatenate(
         [x_prev_sep, x_sep, jnp.broadcast_to(xg, (C, Da))], axis=-1
     )  # (C, W)
-    x_int = jax.vmap(chain_bwd)(Ls, Cs, Fs, ws, xa)  # (C, Qi, D)
+    if cr:
+        x_int = jax.vmap(cr_chain_bwd)(local, state, xa)  # (C, Qi, D)
+    else:
+        x_int = jax.vmap(chain_bwd)(Ls, Cs, Fs, ws, xa)  # (C, Qi, D)
 
     xs = jnp.concatenate([x_int, x_sep[:, None, :]], axis=1).reshape(T, D)
     return xs, xg
@@ -522,8 +553,9 @@ def _inv_bsolve(Linv, B):
     return jnp.swapaxes(Linv, -1, -2) @ (Linv @ B)
 
 
-def cr_factor(Kd, Ksub, Ka, Kc, pallas: bool = False):
-    """Cyclic-reduction factorization for any horizon length.
+def cr_chain_factor(Kd, Ksub, Ka, pallas: bool = False):
+    """Cyclic-reduction factorization of a block-tridiagonal chain with
+    width-W coupling rows — the log-depth analog of ``chain_factor``.
 
     Each level eliminates the odd-indexed stages (H_o = T//2 of them) at
     once; the reduced system lives on the H_e = T - H_o even stages.  For
@@ -532,21 +564,29 @@ def cr_factor(Kd, Ksub, Ka, Kc, pallas: bool = False):
     by the Ksub convention, so both parities use the same formulas with
     parity-dependent slicing.
 
-    Returns (levels, base) where levels[l] = (Lo, X1, X2, XE) holds the
-    odd-block Cholesky factors and the substitution operators
-    X1 = Do^-1 S_in, X2 = Do^-1 S_out', XE = Do^-1 Eo' of level l, and
-    base = the 1-stage chain factors of the fully reduced system.
+    Shapes: Kd/Ksub (T, D, D), Ka (T, W, D) for any coupling width W.
+    Returns ((levels, base), Sacc, ok) where levels[l] = (Lo, X1, X2, XE)
+    holds the odd-block Cholesky factors and the substitution operators
+    X1 = Do^-1 S_in, X2 = Do^-1 S_out', XE = Do^-1 Eo' of level l, base =
+    (Ls, Cs, Fs) are the 1-stage reduced chain factors, and Sacc (W, W) is
+    the total Schur contribution of the chain onto the coupling rows —
+    exactly what ``chain_factor`` accumulates, so the two are drop-in
+    interchangeable inside the partitioned schemes (the chunked scheme
+    below and parallel/horizon.py use whichever ``_use_cr`` selects for
+    the chunk-interior length).
 
     ``pallas=True`` (settings.pallas_kernels): the batched odd-block potrf
     runs through the Pallas cholesky-with-inverse kernel and levels become
     5-tuples (Lo, Lo_inv, X1, X2, XE); every block solve in the factor and
-    in ``cr_solve`` is then a pair of batched GEMMs against Lo_inv instead
+    in the solves is then a pair of batched GEMMs against Lo_inv instead
     of a substitution sweep (the batched block-potrf/trsm replacement for
     the reference's per-stage kernel calls, multistage_kkt.hpp:1253-1352)."""
     if pallas:
         from .ops.pallas_chol import cholesky_with_inverse
 
     T = Kd.shape[0]
+    W = Ka.shape[-2]
+    Sacc = jnp.zeros((W, W), Kd.dtype)
     levels = []
     ok = jnp.asarray(True)
     while T > 1:
@@ -588,20 +628,23 @@ def cr_factor(Kd, Ksub, Ka, Kc, pallas: bool = False):
             Kd = De.at[:H_o].add(-left).at[1:].add(-right)
             Ksub = jnp.concatenate([sub, jnp.zeros_like(sub[:1])], axis=0)
             Ka = Ee.at[:H_o].add(-leftE).at[1:].add(-rightE)
-        Kc = Kc - jnp.einsum("kaj,kjb->ab", Eo, XE)
+        Sacc = Sacc + jnp.einsum("kaj,kjb->ab", Eo, XE)
         T = H_e
 
     Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
-    Lc = jnp.linalg.cholesky(Kc - acc)
-    ok = ok & jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.isfinite(Lc))
-    return (tuple(levels), (Ls, Cs, Fs, Lc)), ok
+    ok = ok & jnp.all(jnp.isfinite(Ls))
+    return (tuple(levels), (Ls, Cs, Fs)), Sacc + acc, ok
 
 
-def cr_solve(factors, vs, vg):
-    """Forward/backward cyclic-reduction sweeps: ~log2(T) batched levels
-    down (condense the RHS onto the evens + arrow), base solve, the same
-    levels up (back-substitute the odd stages)."""
-    levels, (Ls, Cs, Fs, Lc) = factors
+def cr_chain_fwd(factors, vs):
+    """Forward cyclic-reduction sweep: ~log2(T) batched levels condense
+    the RHS onto the evens, then the 1-stage base forward sweep.  Returns
+    (state, gacc) with gacc (W,) = sum_i E_i K^{-1} v_i, the coupling-row
+    RHS contribution — the log-depth analog of ``chain_fwd``; ``state``
+    carries the per-level odd RHS plus the base ws for ``cr_chain_bwd``."""
+    levels, (Ls, Cs, Fs) = factors
+    W = Fs.shape[-2]
+    gacc = jnp.zeros(W, Ls.dtype)
     v_odds = []
     for lev in levels:
         X1, X2, XE = lev[-3], lev[-2], lev[-1]
@@ -615,12 +658,19 @@ def cr_solve(factors, vs, vg):
             vs = (v_e - lv).at[1:].add(-rv[:-1])
         else:
             vs = v_e.at[:H_o].add(-lv).at[1:].add(-rv)
-        vg = vg - jnp.einsum("kja,kj->a", XE, v_o)
+        gacc = gacc + jnp.einsum("kja,kj->a", XE, v_o)
 
-    ws, gacc = chain_fwd(Ls, Cs, Fs, vs)
-    cwg = _tsolve(Lc, vg - gacc)
-    xg = _tsolve(Lc, cwg, transpose=True)
-    x = chain_bwd(Ls, Cs, Fs, ws, xg)  # (1, D)
+    ws, gb = chain_fwd(Ls, Cs, Fs, vs)
+    return (tuple(v_odds), ws), gacc + gb
+
+
+def cr_chain_bwd(factors, state, xa):
+    """Backward cyclic-reduction sweep given the solved coupling variables
+    xa (W,): base backward sweep, then the same levels back-substitute the
+    odd stages — the log-depth analog of ``chain_bwd``."""
+    levels, (Ls, Cs, Fs) = factors
+    v_odds, ws = state
+    x = chain_bwd(Ls, Cs, Fs, ws, xa)  # (1, D)
 
     for lev, v_o in zip(reversed(levels), reversed(v_odds)):
         X1, X2, XE = lev[-3], lev[-2], lev[-1]
@@ -637,28 +687,55 @@ def cr_solve(factors, vs, vg):
             x_o = _bsolve(lev[0], v_o[..., None])[..., 0]
         x_o = x_o - jnp.einsum("kij,kj->ki", X1, x_e[:H_o])
         x_o = x_o - jnp.einsum("kij,kj->ki", X2, x_next)
-        x_o = x_o - jnp.einsum("kia,a->ki", XE, xg)
+        x_o = x_o - jnp.einsum("kia,a->ki", XE, xa)
         D = x_e.shape[1]
         x = jnp.zeros((T, D), x_e.dtype)
         x = x.at[0::2].set(x_e).at[1::2].set(x_o)
+    return x
+
+
+def cr_factor(Kd, Ksub, Ka, Kc, pallas: bool = False):
+    """Cyclic-reduction factorization of the full tridiagonal + arrow
+    system (``cr_chain_factor`` with the arrow as the coupling rows, plus
+    the Cholesky of the arrow's Schur complement)."""
+    (levels, (Ls, Cs, Fs)), Sacc, ok = cr_chain_factor(Kd, Ksub, Ka, pallas)
+    Lc = jnp.linalg.cholesky(Kc - Sacc)
+    ok = ok & jnp.all(jnp.isfinite(Lc))
+    return (levels, (Ls, Cs, Fs, Lc)), ok
+
+
+def cr_solve(factors, vs, vg):
+    """Forward/backward cyclic-reduction sweeps: levels down (condense the
+    RHS onto the evens + arrow), arrow solve, the same levels up."""
+    levels, (Ls, Cs, Fs, Lc) = factors
+    chain = (levels, (Ls, Cs, Fs))
+    state, gacc = cr_chain_fwd(chain, vs)
+    cwg = _tsolve(Lc, vg - gacc)
+    xg = _tsolve(Lc, cwg, transpose=True)
+    x = cr_chain_bwd(chain, state, xg)
     return x, xg
 
 
-def _cr_empty(T, D, Da, dt, pallas: bool = False):
+def _cr_chain_empty(T, D, W, dt, pallas: bool = False):
+    """Placeholder pytree matching ``cr_chain_factor``'s (levels, base)."""
     z = jnp.zeros
     levels = []
     t = T
     while t > 1:
         H = t // 2
         lev = (z((H, D, D), dt), z((H, D, D), dt),
-               z((H, D, D), dt), z((H, D, Da), dt))
+               z((H, D, D), dt), z((H, D, W), dt))
         if pallas:  # 5-tuple: (Lo, Lo_inv, X1, X2, XE)
             lev = (z((H, D, D), dt),) + lev
         levels.append(lev)
         t -= H
-    base = (z((1, D, D), dt), z((1, D, D), dt), z((1, Da, D), dt),
-            z((Da, Da), dt))
+    base = (z((1, D, D), dt), z((1, D, D), dt), z((1, W, D), dt))
     return (tuple(levels), base)
+
+
+def _cr_empty(T, D, Da, dt, pallas: bool = False):
+    levels, (Ls, Cs, Fs) = _cr_chain_empty(T, D, Da, dt, pallas)
+    return (levels, (Ls, Cs, Fs, jnp.zeros((Da, Da), dt)))
 
 
 @kkt_mod.factor.register
@@ -681,7 +758,11 @@ def _(data: StageQPData, ks, mixed: bool = False, pre=None):
         return ks.replace(L=factors), ok
     C = _chunk_count(data.T)
     if C is not None:
-        factors, ok = _chunked_factor(Kd, Ksub, Ka, Kc, C)
+        pallas = (
+            isinstance(ks.L[0][0], tuple)  # CR interiors selected
+            and len(ks.L[0][0][0]) == 5
+        )
+        factors, ok = _chunked_factor(Kd, Ksub, Ka, Kc, C, pallas)
         return ks.replace(L=factors), ok
 
     Ls, Cs, Fs, acc = chain_factor(Kd, Ksub, Ka)
@@ -706,8 +787,7 @@ def _(data: StageQPData, ks, v):
         return _join_x(xs, xg).astype(v.dtype)
     C = _chunk_count(data.T)
     if C is not None:
-        Ls = ks.L[0]
-        dt = Ls.dtype
+        dt = ks.L[-1].dtype  # cLc
         vs, vg = _split_x(data, v.astype(dt))
         xs, xg = _chunked_solve(
             ks.L, vs.reshape(data.T, data.D), vg, data.T, data.D, data.Da

@@ -52,12 +52,17 @@ from .. import kkt as kkt_mod
 from ..multistage import (
     StageQPData,
     _assemble_blocks,
+    _cr_chain_empty,
     _join_x,
     _split_x,
     _tsolve,
+    _use_cr,
     chain_bwd,
     chain_factor,
     chain_fwd,
+    cr_chain_bwd,
+    cr_chain_factor,
+    cr_chain_fwd,
 )
 from ..types import Result, Settings
 
@@ -197,11 +202,24 @@ def _(data: ShardedStageQPData, settings=None):
     W = 2 * D + Da
     dt = data.c.dtype
     z = jnp.zeros
+    if _use_cr(Qi):
+        # chunk interiors factor by cyclic reduction (log-depth per chip);
+        # placeholder structure selects the scheme, level arity the Pallas
+        # kernel (same convention as multistage.empty_factor)
+        pallas = settings is not None and settings.pallas_kernels
+        local = jax.tree.map(
+            lambda a: jnp.zeros((ndev * a.shape[0],) + a.shape[1:], dt),
+            _cr_chain_empty(Qi, D, W, dt, pallas),
+        )
+    else:
+        local = (
+            # local interior factors (global stacked shape; sharded)
+            z((ndev * Qi, D, D), dt),  # Ls
+            z((ndev * Qi, D, D), dt),  # Cs
+            z((ndev * Qi, W, D), dt),  # Fs (extended arrow)
+        )
     return (
-        # local interior factors (global stacked shape; sharded over axis)
-        z((ndev * Qi, D, D), dt),  # Ls
-        z((ndev * Qi, D, D), dt),  # Cs
-        z((ndev * Qi, W, D), dt),  # Fs (extended arrow)
+        local,
         # coarse separator system factors (replicated)
         z((ndev, D, D), dt),  # cLs
         z((ndev, D, D), dt),  # cCs
@@ -210,7 +228,7 @@ def _(data: ShardedStageQPData, settings=None):
     )
 
 
-def _chunk_factor(axis, ndev, Kd, Ksub, Ka, Kc):
+def _chunk_factor(axis, ndev, use_cr, pallas, Kd, Ksub, Ka, Kc):
     """shard_map body: factor the local chunk + redundant coarse factor.
 
     Local shapes: Kd/Ksub (Q,D,D), Ka (Q,Da,D); Kc (Da,Da) replicated.
@@ -234,7 +252,14 @@ def _chunk_factor(axis, ndev, Kd, Ksub, Ka, Kc):
     Ea = Ea.at[Qi - 1, D:2 * D, :].set(Ksub[Qi - 1])  # K[own_sep, last int.]
 
     Ksub_int = Ksub[:Qi].at[Qi - 1].set(0.0)  # last chain entry unused
-    Ls, Cs, Fs, Sacc = chain_factor(Kd[:Qi], Ksub_int, Ea)
+    if use_cr:
+        # log-depth interior: each of the log2(Qi) levels is one batched
+        # potrf + a handful of batched GEMMs instead of Qi tiny scan steps
+        local, Sacc, ok_loc = cr_chain_factor(Kd[:Qi], Ksub_int, Ea, pallas)
+    else:
+        Ls, Cs, Fs, Sacc = chain_factor(Kd[:Qi], Ksub_int, Ea)
+        local = (Ls, Cs, Fs)
+        ok_loc = jnp.all(jnp.isfinite(Ls))
 
     # ---- coarse Schur system over separators + arrow (all-gather, tiny)
     g_Kd = lax.all_gather(Kd[Qi], axis)  # (ndev, D, D)
@@ -259,10 +284,10 @@ def _chunk_factor(axis, ndev, Kd, Ksub, Ka, Kc):
     cLs, cCs, cFs, cacc = chain_factor(cKd, cKsub, cKa)
     cLc = jnp.linalg.cholesky(cKc - cacc)
 
-    ok = jnp.logical_and(jnp.all(jnp.isfinite(Ls)), jnp.all(jnp.isfinite(cLs)))
+    ok = jnp.logical_and(ok_loc, jnp.all(jnp.isfinite(cLs)))
     ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(cLc)))
     ok = jnp.all(lax.all_gather(ok, axis))
-    return Ls, Cs, Fs, cLs, cCs, cFs, cLc, ok
+    return local, cLs, cCs, cFs, cLc, ok
 
 
 @kkt_mod.factor.register
@@ -275,29 +300,38 @@ def _(data: ShardedStageQPData, ks, mixed: bool = False, pre=None):
             Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
         )
     axis, ndev = data.axis, _ndev(data)
+    local_ph = ks.L[0]  # placeholder structure selects the interior scheme
+    use_cr = isinstance(local_ph[0], tuple)
+    pallas = use_cr and len(local_ph[0][0]) == 5
 
     fn = jax.shard_map(
-        lambda *a: _chunk_factor(axis, ndev, *a),
+        lambda *a: _chunk_factor(axis, ndev, use_cr, pallas, *a),
         mesh=data.mesh,
         in_specs=(P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    Ls, Cs, Fs, cLs, cCs, cFs, cLc, ok = fn(Kd, Ksub, Ka, Kc)
-    return ks.replace(L=(Ls, Cs, Fs, cLs, cCs, cFs, cLc)), ok
+    local, cLs, cCs, cFs, cLc, ok = fn(Kd, Ksub, Ka, Kc)
+    return ks.replace(L=(local, cLs, cCs, cFs, cLc)), ok
 
 
-def _chunk_solve(axis, ndev, Ls, Cs, Fs, cLs, cCs, cFs, cLc, vs, vg):
+def _chunk_solve(axis, ndev, local, cLs, cCs, cFs, cLc, vs, vg):
     """shard_map body: two-level forward/backward sweeps.
 
-    Local: Ls/Cs (Qi,D,D), Fs (Qi,W,D), vs (Q,D).  Replicated: coarse
-    factors, vg (Da,).
+    Local: interior factors over Qi stages (chain triple or CR levels),
+    vs (Q,D).  Replicated: coarse factors, vg (Da,).
     """
-    Qi, D, _ = Ls.shape
+    cr = isinstance(local[0], tuple)  # (levels, base) vs (Ls, Cs, Fs)
+    Q, D = vs.shape
+    Qi = Q - 1
     Da = cLc.shape[0]
 
     # parallel interior forward sweeps; gacc = coupling-row contributions
-    ws, gacc = chain_fwd(Ls, Cs, Fs, vs[:Qi])
+    if cr:
+        state, gacc = cr_chain_fwd(local, vs[:Qi])
+    else:
+        Ls, Cs, Fs = local
+        ws, gacc = chain_fwd(Ls, Cs, Fs, vs[:Qi])
 
     # coarse reduced RHS (all-gather, O(ndev * W))
     g_gacc = lax.all_gather(gacc, axis)  # (ndev, W)
@@ -315,7 +349,10 @@ def _chunk_solve(axis, ndev, Ls, Cs, Fs, cLs, cCs, cFs, cLc, vs, vg):
     k = lax.axis_index(axis)
     x_prev_sep = jnp.where(k > 0, x_sep[jnp.maximum(k - 1, 0)], 0.0)
     xa = jnp.concatenate([x_prev_sep, x_sep[k], xg])
-    x_int = chain_bwd(Ls, Cs, Fs, ws, xa)  # (Qi, D)
+    if cr:
+        x_int = cr_chain_bwd(local, state, xa)  # (Qi, D)
+    else:
+        x_int = chain_bwd(Ls, Cs, Fs, ws, xa)  # (Qi, D)
 
     x_loc = jnp.concatenate([x_int, x_sep[k][None]], axis=0)  # (Q, D)
     return x_loc, xg
@@ -323,8 +360,8 @@ def _chunk_solve(axis, ndev, Ls, Cs, Fs, cLs, cCs, cFs, cLc, vs, vg):
 
 @kkt_mod.condensed_solve_x.register
 def _(data: ShardedStageQPData, ks, v):
-    Ls, Cs, Fs, cLs, cCs, cFs, cLc = ks.L
-    dt = Ls.dtype
+    local, cLs, cCs, cFs, cLc = ks.L
+    dt = cLc.dtype
     vs, vg = _split_x(data, v.astype(dt))
     vs = vs.reshape(data.T, data.D)
     axis, ndev = data.axis, _ndev(data)
@@ -333,12 +370,12 @@ def _(data: ShardedStageQPData, ks, v):
         lambda *a: _chunk_solve(axis, ndev, *a),
         mesh=data.mesh,
         in_specs=(
-            P(axis), P(axis), P(axis), P(), P(), P(), P(), P(axis), P(),
+            P(axis), P(), P(), P(), P(), P(axis), P(),
         ),
         out_specs=(P(axis), P()),
         check_vma=False,
     )
-    xs, xg = fn(Ls, Cs, Fs, cLs, cCs, cFs, cLc, vs, vg)
+    xs, xg = fn(local, cLs, cCs, cFs, cLc, vs, vg)
     return _join_x(xs, xg).astype(v.dtype)
 
 

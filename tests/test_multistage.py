@@ -303,6 +303,47 @@ def test_chunked_scheme_end_to_end():
         ms._CR_MAX_T = old
 
 
+def test_chunked_cr_interiors():
+    """Past the CR horizon cap the chunked scheme's chunk INTERIORS still
+    factor by cyclic reduction when Qi >= 16 (T=272 -> C=16, Qi=16): the
+    placeholder carries (levels, base) locals and the solve must match the
+    assembled condensed system."""
+    T = 272
+    assert not ms._use_cr(T)
+    C = ms._chunk_count(T)
+    Qi = T // C - 1
+    assert ms._use_cr(Qi)
+
+    settings = Settings()
+    sdata = ms.random_multistage_qp(T=T, D=3, Da=2, ra=2, rg=2, seed=9)
+    vars = _rand_vars(sdata, 90)
+    P_diag = piqp_tpu.ops.P_diag(sdata)
+    ks = kkt_mod.compute_scalings(
+        sdata, settings, vars, 1e-6, 1e-4, jnp.asarray(False), P_diag
+    )
+    assert isinstance(ks.L[0][0], tuple)  # CR-interior placeholder
+    ks, ok = kkt_mod.factor(sdata, ks)
+    assert bool(ok)
+
+    rng = np.random.default_rng(10)
+    v = jnp.asarray(rng.standard_normal(sdata.n))
+    x = kkt_mod.condensed_solve_x(sdata, ks, v)
+
+    Kd, Ksub, Ka, Kc = ms._assemble_blocks(sdata, ks)
+    D, Da, n = sdata.D, sdata.Da, sdata.n
+    K = np.zeros((n, n))
+    for t in range(T):
+        K[t * D:(t + 1) * D, t * D:(t + 1) * D] = np.asarray(Kd[t])
+        if t + 1 < T:
+            K[(t + 1) * D:(t + 2) * D, t * D:(t + 1) * D] = np.asarray(Ksub[t])
+            K[t * D:(t + 1) * D, (t + 1) * D:(t + 2) * D] = np.asarray(Ksub[t]).T
+        K[T * D:, t * D:(t + 1) * D] = np.asarray(Ka[t])
+        K[t * D:(t + 1) * D, T * D:] = np.asarray(Ka[t]).T
+    K[T * D:, T * D:] = np.asarray(Kc)
+    x_ref = np.linalg.solve(K, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-9)
+
+
 def test_odd_horizon_no_padding():
     """CR handles odd T directly: from_sparse must not pad the horizon
     (the pre-round-2 code padded chain_mass T=41 -> 42 for a chunked

@@ -39,6 +39,9 @@ CASES = [
     dict(T=8, D=3, Da=2, ra=2, rg=2, seed=0),
     dict(T=16, D=4, Da=0, ra=2, rg=3, seed=1),
     dict(T=8, D=2, Da=1, ra=0, rg=2, seed=2),
+    # T=68 over 4 devices -> Qi=16: chunk interiors factor by cyclic
+    # reduction (log-depth per chip) instead of the sequential sweep
+    dict(T=68, D=3, Da=2, ra=2, rg=2, seed=3),
 ]
 
 
