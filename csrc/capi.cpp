@@ -102,6 +102,7 @@ static const char* backend_name(piqp_tpu_kkt_solver k)
         case PIQP_TPU_SPARSE_LDLT: return "sparse_host";
         case PIQP_TPU_SPARSE_MULTISTAGE: return "multistage";
         case PIQP_TPU_DENSE_LU: return "dense_lu";
+        case PIQP_TPU_DENSE_LDLT: return "dense_ldlt";
         /* the elimination-level variants all condense to the same n-by-n
          * device system (PARITY.md section 2.5) */
         case PIQP_TPU_DENSE_CHOLESKY:

@@ -82,6 +82,9 @@ typedef enum {
     PIQP_TPU_SPARSE_LDLT_COND = 4,     /* -> condensed device backend */
     PIQP_TPU_SPARSE_MULTISTAGE = 5,
     PIQP_TPU_DENSE_LU = 6,             /* TPU extension: full-KKT dense LU */
+    PIQP_TPU_DENSE_LDLT = 7,           /* TPU extension: full-KKT signed
+                                        * Cholesky (LDL^T no-pivot), f64 on
+                                        * device */
     PIQP_TPU_AUTO = -1                 /* let the router decide (sparse) */
 } piqp_tpu_kkt_solver;
 

@@ -28,6 +28,7 @@ def status_to_string(status: int | Status) -> str: ...
 class KKTBackend(enum.Enum):
     dense_cholesky = ...
     dense_lu = ...
+    dense_ldlt = ...
     multistage = ...
     sparse_host = ...
     @classmethod
@@ -273,3 +274,18 @@ def solve_horizon_sharded(
     has_cone: bool = ...,
     warm: Optional[Any] = ...,
 ) -> Result: ...
+def solve_qp_diff(
+    data: QPData, settings: Settings = ..., cone: bool = ...
+) -> Any: ...
+def qp_layer(
+    P: Any,
+    c: Any,
+    A: Any = ...,
+    b: Any = ...,
+    G: Any = ...,
+    h_l: Any = ...,
+    h_u: Any = ...,
+    x_l: Any = ...,
+    x_u: Any = ...,
+    settings: Optional[Settings] = ...,
+) -> tuple[Any, QPData]: ...

@@ -29,6 +29,7 @@ from .types import (
     FullKKTQPData,
     Info,
     KKTBackend,
+    LDLTKKTQPData,
     QPData,
     Result,
     Scaling,
@@ -43,10 +44,13 @@ def _route_backend(data: QPData, settings: Settings) -> QPData:
     (the representation type IS the backend selector; see kkt.py)."""
     import dataclasses
 
+    fields = lambda: {
+        f.name: getattr(data, f.name) for f in dataclasses.fields(QPData)
+    }
     if settings.kkt_solver == KKTBackend.dense_lu and type(data) is QPData:
-        return FullKKTQPData(
-            **{f.name: getattr(data, f.name) for f in dataclasses.fields(QPData)}
-        )
+        return FullKKTQPData(**fields())
+    if settings.kkt_solver == KKTBackend.dense_ldlt and type(data) is QPData:
+        return LDLTKKTQPData(**fields())
     return data
 
 

@@ -31,7 +31,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import ops
-from .types import FullKKTQPData, QPData, Settings, Vars, _pytree_dataclass
+from .types import (
+    FullKKTQPData,
+    LDLTKKTQPData,
+    QPData,
+    Settings,
+    Vars,
+    _pytree_dataclass,
+)
 
 
 @_pytree_dataclass
@@ -305,8 +312,32 @@ def _backend_solve(data, ks: KKTState, rx, ry, rz):
 
 
 # ---------------------------------------------------------------------------
-# full 3-block dense KKT backend (KKTBackend.dense_lu)
+# full 3-block dense KKT backends (KKTBackend.dense_lu / dense_ldlt)
 # ---------------------------------------------------------------------------
+
+def assemble_full_kkt(data: QPData, ks: KKTState, dt) -> jax.Array:
+    """The full regularized 3-block (n+p+m) dense KKT matrix
+
+        [ P + diag(x_reg)   A'                G'               ]
+        [ A                 -delta_reg I                       ]
+        [ G                                   -diag(z_reg_fac) ]
+
+    — the dense-device analog of the reference's KKT_FULL sparse mode
+    (sparse/kkt_full.hpp:22-252)."""
+    p, m = data.p, data.m
+    P = data.P.astype(dt)
+    A = data.A.astype(dt)
+    G = data.G.astype(dt)
+    top = jnp.concatenate([P + jnp.diag(ks.x_reg.astype(dt)), A.T, G.T], axis=1)
+    mid = jnp.concatenate(
+        [A, -ks.delta_reg.astype(dt) * jnp.eye(p, dtype=dt),
+         jnp.zeros((p, m), dt)], axis=1,
+    )
+    bot = jnp.concatenate(
+        [G, jnp.zeros((m, p), dt), -jnp.diag(ks.z_reg_fact.astype(dt))], axis=1
+    )
+    return jnp.concatenate([top, mid, bot], axis=0)
+
 
 @empty_factor.register
 def _(data: FullKKTQPData, settings: Settings = None):
@@ -333,20 +364,7 @@ def _factor_full_lu(
     what ill-conditioned SQP subproblems (robot_arm fixtures) need to
     factor reliably in f64.
     """
-    n, p, m = data.n, data.p, data.m
-    dt = jnp.float32 if mixed else data.P.dtype
-    P = data.P.astype(dt)
-    A = data.A.astype(dt)
-    G = data.G.astype(dt)
-    top = jnp.concatenate([P + jnp.diag(ks.x_reg.astype(dt)), A.T, G.T], axis=1)
-    mid = jnp.concatenate(
-        [A, -ks.delta_reg.astype(dt) * jnp.eye(p, dtype=dt),
-         jnp.zeros((p, m), dt)], axis=1,
-    )
-    bot = jnp.concatenate(
-        [G, jnp.zeros((m, p), dt), -jnp.diag(ks.z_reg_fact.astype(dt))], axis=1
-    )
-    K = jnp.concatenate([top, mid, bot], axis=0)
+    K = assemble_full_kkt(data, ks, jnp.float32 if mixed else data.P.dtype)
     lu, piv, _ = lax.linalg.lu(K)
     ok = jnp.all(jnp.isfinite(lu))
     return ks.replace(L=(lu, piv)), ok
@@ -361,6 +379,60 @@ def _(data: FullKKTQPData, ks: KKTState, rx, ry, rz):
     sol = jsl.lu_solve((lu, piv), rhs).astype(rx.dtype)
     n, p = data.n, data.p
     return sol[:n], sol[n:n + p], sol[n + p:]
+
+
+@empty_factor.register
+def _(data: LDLTKKTQPData, settings: Settings = None):
+    from .ops import ldlt
+
+    Np = ldlt.padded_dim(data.n + data.p + data.m)
+    nb = Np // ldlt.DEFAULT_BLOCK
+    bs = ldlt.DEFAULT_BLOCK
+    dt = data.P.dtype
+    return (jnp.zeros((Np, Np), dt), jnp.zeros((nb, bs, bs), dt))
+
+
+@precompute.register
+def _(data: LDLTKKTQPData):
+    return None
+
+
+@factor.register
+def _factor_full_ldlt(
+    data: LDLTKKTQPData, ks: KKTState, mixed: bool = False, pre=None
+):
+    """Blocked signed Cholesky (LDL^T, no pivoting) of the full 3-block
+    quasi-definite KKT matrix (ops/ldlt.py) — the device analog of the
+    reference's dense::LDLTNoPivot (dense/ldlt_no_pivot.hpp:279-354) applied
+    to the KKT_FULL system.  Unlike the LU backend this compiles for TPU in
+    float64, so it is the on-device robustness route for ill-conditioned
+    problems where the condensed form's squared condition number bites."""
+    from .ops import ldlt
+
+    dt = jnp.float32 if mixed else data.P.dtype
+    K = assemble_full_kkt(data, ks, dt)
+    Np = ldlt.padded_dim(data.n + data.p + data.m)
+    Kp = ldlt.pad_quasidef(K, Np)
+    signs = ldlt.kkt_signs(data.n, data.p, data.m, Np, dt)
+    L, Linvs = ldlt.signed_cholesky(Kp, signs)
+    ok = jnp.logical_and(
+        jnp.all(jnp.isfinite(L)), jnp.all(jnp.isfinite(Linvs))
+    )
+    return ks.replace(L=(L, Linvs)), ok
+
+
+@_backend_solve.register
+def _(data: LDLTKKTQPData, ks: KKTState, rx, ry, rz):
+    from .ops import ldlt
+
+    L, Linvs = ks.L
+    n, p, m = data.n, data.p, data.m
+    Np = L.shape[-1]
+    signs = ldlt.kkt_signs(n, p, m, Np, L.dtype)
+    rhs = jnp.concatenate([rx, ry, rz]).astype(L.dtype)
+    rhs = jnp.concatenate([rhs, jnp.zeros((Np - n - p - m,), L.dtype)])
+    sol = ldlt.signed_solve(L, Linvs, signs, rhs).astype(rx.dtype)
+    return sol[:n], sol[n:n + p], sol[n + p:n + p + m]
 
 
 def mul_condensed(data, ks: KKTState, lx, ly, lz):

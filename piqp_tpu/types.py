@@ -89,6 +89,12 @@ class KKTBackend(enum.Enum):
         ill-conditioned problems (tight SQP subproblems) the full form
         keeps factorizations healthy at the cost of a bigger matrix —
         the device analog of the reference's KKT_FULL sparse mode.
+      - ``dense_ldlt``: full 3-block KKT + blocked signed Cholesky
+        (LDL^T without pivoting, ops/ldlt.py) — the quasi-definite
+        analog of the reference's dense::LDLTNoPivot
+        (dense/ldlt_no_pivot.hpp:279-354).  Same conditioning benefits
+        as ``dense_lu`` at Cholesky cost, and (unlike LU) the TPU
+        runtime compiles it in float64.
       - ``multistage``: block-tridiagonal + arrow Cholesky over stages.
       - ``sparse_host``: full 3-block sparse KKT factored host-side
         (hostsparse.py) — the routing target for large general sparse
@@ -98,6 +104,7 @@ class KKTBackend(enum.Enum):
 
     dense_cholesky = "dense_cholesky"
     dense_lu = "dense_lu"
+    dense_ldlt = "dense_ldlt"
     multistage = "multistage"
     sparse_host = "sparse_host"
 
@@ -322,6 +329,20 @@ jax.tree_util.register_dataclass(
     meta_fields=[],
 )
 FullKKTQPData.replace = dataclasses.replace
+
+
+@dataclasses.dataclass
+class LDLTKKTQPData(QPData):
+    """QPData marker subclass routing the KKT layer to the full 3-block
+    signed-Cholesky backend (``KKTBackend.dense_ldlt``, ops/ldlt.py)."""
+
+
+jax.tree_util.register_dataclass(
+    LDLTKKTQPData,
+    data_fields=[f.name for f in dataclasses.fields(QPData)],
+    meta_fields=[],
+)
+LDLTKKTQPData.replace = dataclasses.replace
 
 
 @_pytree_dataclass
