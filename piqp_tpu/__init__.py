@@ -45,6 +45,7 @@ from .parallel import (  # noqa: E402
     shard_horizon,
     solve_horizon_sharded,
 )
+from .diff import qp_layer, solve_qp_diff  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -70,5 +71,7 @@ __all__ = [
     "ShardedStageQPData",
     "shard_horizon",
     "solve_horizon_sharded",
+    "qp_layer",
+    "solve_qp_diff",
     "__version__",
 ]
