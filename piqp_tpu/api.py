@@ -39,7 +39,9 @@ from .types import (
 )
 
 
-def _route_backend(data: QPData, settings: Settings) -> QPData:
+def _route_backend(
+    data: QPData, settings: Settings, backend: str | None = None
+) -> QPData:
     """Re-wrap the data in the representation matching settings.kkt_solver
     (the representation type IS the backend selector; see kkt.py)."""
     import dataclasses
@@ -48,6 +50,22 @@ def _route_backend(data: QPData, settings: Settings) -> QPData:
         f.name: getattr(data, f.name) for f in dataclasses.fields(QPData)
     }
     if settings.kkt_solver == KKTBackend.dense_lu and type(data) is QPData:
+        # The TPU runtime only implements LU for f32; in f64 the request
+        # would die inside XLA with an opaque compile error.  dense_ldlt
+        # factors the same full 3-block KKT (signed Cholesky, ops/ldlt.py)
+        # and does compile in f64 — route there with a warning.
+        backend = backend or jax.default_backend()
+        if backend != "cpu" and jnp.dtype(data.P.dtype) == jnp.float64:
+            import warnings
+
+            warnings.warn(
+                "KKTBackend.dense_lu does not compile in float64 on the TPU "
+                "runtime (LuDecomposition is f32-only); routing to "
+                "dense_ldlt, the f64-capable full-KKT backend "
+                "(docs/backends.md).",
+                stacklevel=3,
+            )
+            return LDLTKKTQPData(**fields())
         return FullKKTQPData(**fields())
     if settings.kkt_solver == KKTBackend.dense_ldlt and type(data) is QPData:
         return LDLTKKTQPData(**fields())

@@ -123,3 +123,19 @@ def test_dense_ldlt_solves_robot_arm():
         **prob, settings=Settings(kkt_solver=KKTBackend.dense_ldlt)
     )
     assert int(res.info.status) == int(Status.SOLVED)
+
+
+def test_dense_lu_routes_to_ldlt_on_accelerator():
+    """In f64 on a non-CPU backend, dense_lu requests reroute to the
+    f64-capable dense_ldlt backend with a warning (the TPU runtime's
+    LuDecomposition is f32-only)."""
+    from piqp_tpu.api import _route_backend, prepare_data
+    from piqp_tpu.types import FullKKTQPData, LDLTKKTQPData
+
+    prob = dense_strongly_convex_qp(8, 3, 4, seed=5)
+    data = prepare_data(**prob)
+    s = Settings(kkt_solver=KKTBackend.dense_lu)
+    with pytest.warns(UserWarning, match="dense_ldlt"):
+        routed = _route_backend(data, s, backend="tpu")
+    assert type(routed) is LDLTKKTQPData
+    assert type(_route_backend(data, s, backend="cpu")) is FullKKTQPData
