@@ -386,9 +386,13 @@ def _(data: LDLTKKTQPData, settings: Settings = None):
     from .ops import ldlt
 
     Np = ldlt.padded_dim(data.n + data.p + data.m)
+    dt = data.P.dtype
+    if settings is not None and settings.pallas_kernels:
+        # full-inverse representation: the signed Pallas kernel
+        # (ops/pallas_chol.signed_cholesky_with_inverse) under vmap
+        return (jnp.zeros((Np, Np), dt), jnp.zeros((Np, Np), dt))
     nb = Np // ldlt.DEFAULT_BLOCK
     bs = ldlt.DEFAULT_BLOCK
-    dt = data.P.dtype
     return (jnp.zeros((Np, Np), dt), jnp.zeros((nb, bs, bs), dt))
 
 
@@ -414,7 +418,14 @@ def _factor_full_ldlt(
     Np = ldlt.padded_dim(data.n + data.p + data.m)
     Kp = ldlt.pad_quasidef(K, Np)
     signs = ldlt.kkt_signs(data.n, data.p, data.m, Np, dt)
-    L, Linvs = ldlt.signed_cholesky(Kp, signs)
+    if ks.L[1].ndim == 2:
+        # full-inverse representation (settings.pallas_kernels): under vmap
+        # this hits the signed Pallas kernel; solves become GEMMs
+        from .ops.pallas_chol import signed_cholesky_with_inverse
+
+        L, Linvs = signed_cholesky_with_inverse(Kp, signs)
+    else:
+        L, Linvs = ldlt.signed_cholesky(Kp, signs)
     ok = jnp.logical_and(
         jnp.all(jnp.isfinite(L)), jnp.all(jnp.isfinite(Linvs))
     )
@@ -431,7 +442,12 @@ def _(data: LDLTKKTQPData, ks: KKTState, rx, ry, rz):
     signs = ldlt.kkt_signs(n, p, m, Np, L.dtype)
     rhs = jnp.concatenate([rx, ry, rz]).astype(L.dtype)
     rhs = jnp.concatenate([rhs, jnp.zeros((Np - n - p - m,), L.dtype)])
-    sol = ldlt.signed_solve(L, Linvs, signs, rhs).astype(rx.dtype)
+    if Linvs.ndim == 2:
+        from .ops.pallas_chol import signed_inv_solve
+
+        sol = signed_inv_solve(Linvs, signs, rhs).astype(rx.dtype)
+    else:
+        sol = ldlt.signed_solve(L, Linvs, signs, rhs).astype(rx.dtype)
     return sol[:n], sol[n:n + p], sol[n + p:n + p + m]
 
 

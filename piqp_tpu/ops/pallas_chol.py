@@ -183,3 +183,149 @@ def inv_solve(Linv: jax.Array, v: jax.Array) -> jax.Array:
     substitution).  Shapes: Linv (..., n, n), v (..., n)."""
     y = jnp.einsum("...ij,...j->...i", Linv, v)
     return jnp.einsum("...ji,...j->...i", Linv, y)
+
+
+# ---------------------------------------------------------------------------
+# signed variant: K = L S L^T for quasi-definite K (the batched Pallas path
+# of the dense_ldlt backend; blocked single-problem version in ops/ldlt.py)
+# ---------------------------------------------------------------------------
+
+def _signed_chol_inv_kernel(a_ref, s_ref, l_ref, linv_ref, *, n: int):
+    """Factor a (TB, n, n) quasi-definite tile: K = L S L^T with
+    S = diag(signs), signs in {+1, -1} shared across the tile.  Identical
+    loop structure to ``_chol_inv_kernel`` with the sign woven into the
+    pivot, the column scaling (1/s = s) and the rank-1 downdate."""
+    dt = l_ref.dtype
+    row_ids = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+
+    l_ref[:] = a_ref[:]
+    linv_ref[:] = jnp.zeros_like(linv_ref)
+
+    def step(j, _):
+        sj = s_ref[:, :, pl.ds(j, 1)]  # (1, 1, 1)
+        d2 = l_ref[:, pl.ds(j, 1), pl.ds(j, 1)] * sj  # > 0 when quasi-def
+        dinv = lax.rsqrt(d2)
+        col = l_ref[:, :, pl.ds(j, 1)]
+        # l_ij = W_ij / (s_j d) = W_ij * dinv * s_j
+        lcol = jnp.where(row_ids >= j, col * dinv * sj, jnp.zeros((), dt))
+        l_ref[:, :, pl.ds(j, 1)] = lcol
+        upd = (lcol * jnp.swapaxes(lcol, 1, 2)) * sj
+        l_ref[:] = l_ref[:] - jnp.where(col_ids > j, upd, jnp.zeros((), dt))
+        lrow = l_ref[:, pl.ds(j, 1), :]
+        lrow = jnp.where(col_ids < j, lrow, jnp.zeros((), dt))
+        acc = lax.dot_general(
+            lrow, linv_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt,
+        )
+        ej = jnp.where(col_ids == j, jnp.ones((), dt), jnp.zeros((), dt))
+        linv_ref[:, pl.ds(j, 1), :] = (ej - acc) * dinv
+        return 0
+
+    lax.fori_loop(0, n, step, 0)
+    l_ref[:] = jnp.where(col_ids > row_ids, jnp.zeros((), dt), l_ref[:])
+
+
+def _pallas_signed_chol_inv_batched(K, signs):
+    B, n, _ = K.shape
+    tb = _TB if n <= 128 else 2
+    pad = (-B) % tb
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), (pad, n, n))
+        # identity slots are consistent with any sign pattern's magnitude
+        # only when signs are +1; embed sign-consistent diagonal instead
+        eye = eye * signs[None, None, :]
+        K = jnp.concatenate([K, eye], axis=0)
+    Bp = K.shape[0]
+
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_signed_chol_inv_kernel, n=n),
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, n, n), K.dtype),
+            jax.ShapeDtypeStruct((Bp, n, n), K.dtype),
+        ),
+        interpret=interpret,
+    )(K, signs.astype(K.dtype).reshape(1, 1, n))
+    L, Linv = out
+    if pad:
+        L, Linv = L[:B], Linv[:B]
+    return L, Linv
+
+
+def _signed_inv_xla(K, signs):
+    """Unbatched / oversized fallback: blocked signed Cholesky
+    (ops/ldlt.py) + full triangular inverse by block forward substitution
+    against the identity."""
+    from . import ldlt
+
+    L, Linvs = ldlt.signed_cholesky(K, signs)
+    N = L.shape[-1]
+    nb, bs, _ = Linvs.shape
+    eye = jnp.eye(N, dtype=K.dtype)
+
+    def fwd(k, X):
+        off = k * bs
+        Lrow = lax.dynamic_slice(L, (off, 0), (bs, N))
+        R = lax.dynamic_slice(eye, (off, 0), (bs, N)) - Lrow @ X
+        return lax.dynamic_update_slice(X, Linvs[k] @ R, (off, 0))
+
+    Linv = lax.fori_loop(0, nb, fwd, jnp.zeros_like(L))
+    return L, Linv
+
+
+@jax.custom_batching.custom_vmap
+def signed_cholesky_with_inverse(K, signs):
+    """L (lower, scaled-Cholesky convention) and Linv = L^-1 with
+    K = L diag(signs) L^T, for one (n, n) quasi-definite matrix.
+
+    Under vmap (a fleet of full-KKT dense_ldlt factorizations) this
+    dispatches to the signed Pallas kernel; unbatched it runs the blocked
+    ops/ldlt.py factorization and expands the block inverses.  Solves
+    become GEMMs: K^-1 v = Linv^T (signs * (Linv v))."""
+    return _signed_inv_xla(K, signs)
+
+
+@signed_cholesky_with_inverse.def_vmap
+def _signed_chol_inv_vmap(axis_size, in_batched, K, signs):
+    k_batched, s_batched = in_batched
+    if not k_batched:
+        K = jnp.broadcast_to(K, (axis_size,) + K.shape)
+    if s_batched:
+        # heterogeneous sign patterns per batch element: no shared-tile
+        # kernel; fall back (homogeneous fleets share one (n,) signs)
+        out = jax.vmap(_signed_inv_xla)(K, signs)
+        return out, (True, True)
+    n = K.shape[-1]
+    kernel_ok = (
+        K.ndim == 3
+        and K.shape[-2] == n
+        and n <= _MAX_PALLAS_N
+        and (K.dtype == jnp.float32 or jax.default_backend() == "cpu")
+    )
+    if kernel_ok:
+        out = _pallas_signed_chol_inv_batched(K, signs)
+    else:
+        out = jax.vmap(lambda k: _signed_inv_xla(k, signs))(K)
+    return out, (True, True)
+
+
+def signed_inv_solve(Linv, signs, v):
+    """(L S L^T)^-1 v via the precomputed inverse: two GEMVs and a sign
+    flip.  Shapes: Linv (..., n, n), signs (n,), v (..., n)."""
+    y = jnp.einsum("...ij,...j->...i", Linv, v)
+    return jnp.einsum("...ji,...j->...i", Linv, signs * y)

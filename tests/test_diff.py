@@ -175,3 +175,24 @@ def test_jit_and_vmap_compose():
     num = (loss_c(data.c + eps * D) - loss_c(data.c - eps * D)) / (2 * eps)
     ana = float(jnp.sum(g1 * jnp.asarray(D)))
     assert float(num) == pytest.approx(ana, rel=2e-4, abs=5e-6)
+
+
+def test_jacrev_full_jacobian():
+    """jacrev computes the full solution-map Jacobian dx*/dc; columns must
+    match FD directional derivatives (custom_vjp supports jacrev; jacfwd
+    is unsupported by construction)."""
+    data, cone = _prep(seed=5)
+
+    def xstar(c):
+        return solve_qp_diff(dataclasses.replace(data, c=c), TIGHT, cone).x
+
+    J = jax.jacrev(xstar)(data.c)
+    assert J.shape == (data.n, data.n)
+    rng = np.random.default_rng(23)
+    D = rng.standard_normal(data.n)
+    eps = 1e-6
+    fd = (xstar(data.c + eps * jnp.asarray(D))
+          - xstar(data.c - eps * jnp.asarray(D))) / (2 * eps)
+    np.testing.assert_allclose(
+        np.asarray(J @ jnp.asarray(D)), np.asarray(fd), atol=1e-5, rtol=1e-4
+    )

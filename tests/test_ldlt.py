@@ -139,3 +139,60 @@ def test_dense_lu_routes_to_ldlt_on_accelerator():
         routed = _route_backend(data, s, backend="tpu")
     assert type(routed) is LDLTKKTQPData
     assert type(_route_backend(data, s, backend="cpu")) is FullKKTQPData
+
+
+def test_signed_pallas_kernel_matches_blocked():
+    """The vmapped signed Pallas kernel (interpreter mode on CPU) agrees
+    with the blocked kernel and with dense solves."""
+    from piqp_tpu.ops.pallas_chol import (
+        signed_cholesky_with_inverse,
+        signed_inv_solve,
+    )
+
+    N, npos = 128, 80
+    s = np.concatenate([np.ones(npos), -np.ones(N - npos)])
+    Ks, rhs = [], []
+    for seed in range(5):
+        K, _ = _random_quasidef(N, npos, seed=seed + 50)
+        Ks.append(K)
+        rhs.append(np.random.default_rng(seed).standard_normal(N))
+    Ks = jnp.asarray(np.stack(Ks))
+    rhs = jnp.asarray(np.stack(rhs))
+    sj = jnp.asarray(s)
+
+    L, Linv = jax.vmap(lambda K: signed_cholesky_with_inverse(K, sj))(Ks)
+    x = jax.vmap(lambda li, b: signed_inv_solve(li, sj, b))(Linv, rhs)
+    for i in range(5):
+        Ki = np.asarray(Ks[i])
+        Li = np.asarray(L[i])
+        rec = (Li * s[None, :]) @ Li.T
+        assert np.allclose(rec, Ki, atol=1e-8 * np.abs(Ki).max())
+        assert np.allclose(np.asarray(Linv[i]) @ Li, np.eye(N), atol=1e-7)
+        x_ref = np.linalg.solve(Ki, np.asarray(rhs[i]))
+        assert np.allclose(np.asarray(x[i]), x_ref, atol=1e-7)
+
+
+def test_signed_inv_unbatched_fallback():
+    from piqp_tpu.ops.pallas_chol import signed_cholesky_with_inverse
+
+    K, s = _random_quasidef(128, 70, seed=77)
+    L, Linv = signed_cholesky_with_inverse(jnp.asarray(K), jnp.asarray(s))
+    assert np.allclose(np.asarray(Linv) @ np.asarray(L), np.eye(128), atol=1e-8)
+
+
+def test_batch_dense_ldlt_pallas_backend():
+    """End-to-end: vmapped fleet through the dense_ldlt backend with
+    settings.pallas_kernels=True matches the default condensed backend."""
+    from piqp_tpu import prepare_batch, solve_batch
+
+    probs = [dense_strongly_convex_qp(12, 4, 6, seed=100 + i) for i in range(4)]
+    data = prepare_batch(probs)
+    r_ldlt = solve_batch(
+        data,
+        Settings(kkt_solver=KKTBackend.dense_ldlt, pallas_kernels=True),
+    )
+    r_ref = solve_batch(data, Settings())
+    assert np.all(np.asarray(r_ldlt.info.status) == int(Status.SOLVED))
+    np.testing.assert_allclose(
+        np.asarray(r_ldlt.x), np.asarray(r_ref.x), atol=1e-6, rtol=1e-6
+    )
