@@ -66,10 +66,14 @@ from .types import BasicVars, QPData, Settings, Vars
 # layer (OptNet et al.); weakly-active points are non-differentiable anyway.
 SLACK_FLOOR = 1e-8
 
-# adjoint saddle regularization (corrected by refinement)
+# adjoint saddle regularization (corrected by refinement).  The condensed
+# preconditioner's weights are W = 1/(s/z + delta) ~ (z/s)(1 - delta z/s):
+# ~9% low on floored active rows at delta=1e-9, so refinement against the
+# exact z/s-weighted operator contracts at ~0.1/round; 4 rounds leave
+# O(1e-5) relative error, well under the FD test tolerances.
 _ADJ_RHO = 1e-11
 _ADJ_DELTA = 1e-9
-_ADJ_REFINE = 3
+_ADJ_REFINE = 4
 
 
 def _kkt_residual(data, x, y, z_l, z_u, z_bl, z_bu):

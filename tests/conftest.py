@@ -42,7 +42,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # passes standalone crashes at the tail of the full suite).  Dropping the
 # in-memory executable caches periodically keeps the process well below the
 # blowup point; the persistent disk cache makes re-compiles cheap.
-_TESTS_BETWEEN_CACHE_CLEARS = 40
+_TESTS_BETWEEN_CACHE_CLEARS = 25
 _test_counter = {"n": 0}
 
 

@@ -22,6 +22,17 @@ from piqp_tpu.utils.random import dense_strongly_convex_qp
 TIGHT = Settings(eps_abs=1e-11, eps_rel=1e-12)
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """grad-of-solve executables are the largest in the suite (the bwd
+    traces the full forward IPM plus the adjoint); dropping in-memory
+    executables around each test keeps the XLA:CPU compiler below its
+    cumulative-state crash point (see tests/conftest.py), and the
+    persistent disk cache keeps re-compiles cheap."""
+    jax.clear_caches()
+    yield
+
+
 def _nondegenerate_qp(n=6, p=2, m=4, seed=0, box=True):
     """QP with a controlled, strictly-complementary, nondegenerate active
     set built by inverse KKT: pick x*, duals and actives, back out c.
