@@ -262,3 +262,26 @@ def test_multistage_diff_block_gradients():
            - loss_pd(sdata.Pd - eps * jnp.asarray(D))) / (2 * eps)
     ana = float(jnp.sum(g * jnp.asarray(D)))
     assert float(num) == pytest.approx(ana, rel=5e-4, abs=5e-6)
+
+
+def test_multistage_diff_vmapped_fleet():
+    """A fleet of MPC problems differentiates under vmap: per-scenario
+    gradients through the structured adjoint (learned-MPC training loops
+    over scenario batches)."""
+    from piqp_tpu import multistage as ms
+
+    sdata = ms.random_multistage_qp(T=5, D=3, Da=2, ra=1, rg=2, seed=11)
+
+    def gc(c):
+        def loss(cc):
+            d = dataclasses.replace(sdata, c=cc)
+            return jnp.sum(solve_qp_diff(d, TIGHT, True).x ** 2)
+
+        return jax.grad(loss)(c)
+
+    cs = jnp.stack([sdata.c, sdata.c * 1.01, sdata.c * 0.99])
+    gs = jax.vmap(gc)(cs)
+    assert gs.shape == (3, sdata.c.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(gs[0]), np.asarray(gc(sdata.c)), atol=1e-8
+    )

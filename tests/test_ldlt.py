@@ -196,3 +196,27 @@ def test_batch_dense_ldlt_pallas_backend():
     np.testing.assert_allclose(
         np.asarray(r_ldlt.x), np.asarray(r_ref.x), atol=1e-6, rtol=1e-6
     )
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize(
+    "name", ["HS21", "HS35", "HS51", "HS52", "HS76", "ZECEVIC2", "LOTSCHD",
+             "DUAL1", "DUAL4", "QPCBLEND"]
+)
+def test_dense_ldlt_small_corpus(name):
+    """Maros-Meszaros small subset through the dense_ldlt full-KKT device
+    backend (the robustness route's accuracy gate, mirroring the corpus
+    runs of the other backends in test_corpus.py)."""
+    import os
+
+    from piqp_tpu.utils.io import load_mat
+
+    prob = load_mat(
+        os.path.join("/root/reference/tests/data/maros_meszaros", name + ".mat")
+    )
+    res = solve_dense(
+        **prob, settings=Settings(kkt_solver=KKTBackend.dense_ldlt)
+    )
+    assert int(res.info.status) == int(Status.SOLVED), (
+        f"{name}: {int(res.info.status)} after {int(res.info.iter)} iters"
+    )
