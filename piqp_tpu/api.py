@@ -253,12 +253,68 @@ def solve_dense(
     return solve_prepared(data, settings)
 
 
+class _SettingsView:
+    """Attribute-mutable view over a solver's frozen Settings — reference
+    Python API parity (``solver.settings.eps_abs = 1e-9``,
+    piqp_python.cpp:86-128 exposes mutable settings fields).  Settings
+    itself stays frozen/hashable (it is the jit static key); every
+    attribute set swaps a new frozen instance into the owning solver, so
+    the next solve uses — and retraces for — the new values."""
+
+    __slots__ = ("_solver",)
+
+    def __init__(self, solver):
+        object.__setattr__(self, "_solver", solver)
+
+    def unwrap(self) -> Settings:
+        return self._solver._settings
+
+    def __getattr__(self, name):
+        return getattr(self._solver._settings, name)
+
+    def __setattr__(self, name, value):
+        import dataclasses
+
+        cur = self._solver._settings
+        if not hasattr(cur, name):
+            raise AttributeError(f"Settings has no field {name!r}")
+        self._solver._settings = dataclasses.replace(cur, **{name: value})
+
+    def __repr__(self):
+        return repr(self._solver._settings)
+
+    def __eq__(self, other):
+        if isinstance(other, _SettingsView):
+            other = other.unwrap()
+        return self._solver._settings == other
+
+    def __hash__(self):
+        return hash(self._solver._settings)
+
+
+class _SettingsProperty:
+    """Shared ``settings`` descriptor for the stateful solvers."""
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        return _SettingsView(obj)
+
+    def __set__(self, obj, value):
+        if isinstance(value, _SettingsView):
+            value = value.unwrap()
+        if not isinstance(value, Settings):
+            raise TypeError(f"expected Settings, got {type(value).__name__}")
+        obj._settings = value
+
+
 class DenseSolver:
     """Stateful solver mirroring piqp::DenseSolver (solver.hpp:1262-1291).
 
     Usage:
         solver = DenseSolver()
-        solver.settings = Settings(eps_abs=1e-9)   # or mutate attributes
+        solver.settings = Settings(eps_abs=1e-9)
+        solver.settings.verbose = True             # attribute mutation too
         solver.setup(P, c, A, b, G, h_l, h_u, x_l, x_u)
         status = solver.solve()
         x = solver.result.x
@@ -266,8 +322,10 @@ class DenseSolver:
         status = solver.solve()
     """
 
+    settings = _SettingsProperty()
+
     def __init__(self, settings: Settings = Settings()):
-        self.settings = settings
+        self._settings = settings
         self._raw: dict = {}
         self._data: Optional[QPData] = None
         self._scaling: Optional[Scaling] = None
@@ -285,14 +343,14 @@ class DenseSolver:
         self._raw = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l, h_u=h_u,
                          x_l=x_l, x_u=x_u)
         self._data = prepare_data(
-            P, c, A, b, G, h_l, h_u, x_l, x_u, dtype=self.settings.jnp_dtype
+            P, c, A, b, G, h_l, h_u, x_l, x_u, dtype=self._settings.jnp_dtype
         )
         # cone dispatch flag computed once here (setup is analysis time);
         # the warm solve path must not pay a device->host sync per call
         self._cone = has_cone(self._data)
         # dead-row pattern (disable_inf_constraints) cached for the
         # selective update path
-        np_dtype = np.dtype(self.settings.jnp_dtype.name)
+        np_dtype = np.dtype(self._settings.jnp_dtype.name)
         m = self._data.m
         hl = _as_1d(h_l, m, np_dtype, -np.inf)
         hu = _as_1d(h_u, m, np_dtype, np.inf)
@@ -327,7 +385,7 @@ class DenseSolver:
                 self._raw[k] = v
 
         d = self._data
-        np_dtype = np.dtype(self.settings.jnp_dtype.name)
+        np_dtype = np.dtype(self._settings.jnp_dtype.name)
         n, p, m = d.n, d.p, d.m
         new = {}
 
@@ -380,7 +438,7 @@ class DenseSolver:
         if bounds_changed:
             self._cone = has_cone(self._data)
         matrices_changed = any(updates[k] is not None for k in ("P", "A", "G"))
-        if not (self.settings.preconditioner_reuse_on_update or not matrices_changed):
+        if not (self._settings.preconditioner_reuse_on_update or not matrices_changed):
             self._scaling = None  # recompute Ruiz on next solve
         self._update_time = time.perf_counter() - t0
 
@@ -394,12 +452,12 @@ class DenseSolver:
         analog (the reference always cold-starts, solver.hpp:398-577)."""
         if self._data is None:
             raise RuntimeError("Solver not setup yet")
-        if not self.settings.verify():
-            dummy = jax.tree.map(jnp.asarray, _invalid_info(self.settings))
+        if not self._settings.verify():
+            dummy = jax.tree.map(jnp.asarray, _invalid_info(self._settings))
             self._result = dummy
             return Status.INVALID_SETTINGS
 
-        if self.settings.verbose:
+        if self._settings.verbose:
             self._print_header()
 
         warm = None
@@ -408,24 +466,24 @@ class DenseSolver:
             warm = BasicVars(x=r.x, y=r.y, z_l=r.z_l, z_u=r.z_u,
                              z_bl=r.z_bl, z_bu=r.z_bu)
 
-        data = _route_backend(self._data, self.settings)
+        data = _route_backend(self._data, self._settings)
         cone = self._cone
         t0 = time.perf_counter()
-        if self._scaling is None or not self.settings.preconditioner_reuse_on_update:
-            result, sc = _solve_fresh(data, self.settings, cone, warm)
+        if self._scaling is None or not self._settings.preconditioner_reuse_on_update:
+            result, sc = _solve_fresh(data, self._settings, cone, warm)
             self._scaling = sc
         else:
-            result = _solve_reuse(data, self._scaling, self.settings, cone, warm)
+            result = _solve_reuse(data, self._scaling, self._settings, cone, warm)
         result = jax.block_until_ready(result)
         solve_time = time.perf_counter() - t0
 
         self._solve_time = solve_time
-        if self.settings.compute_timings:
+        if self._settings.compute_timings:
             # fill the timing leaves of Info (results.hpp:83-88) host-side;
             # kkt_factor_time / kkt_solve_time are estimated from separately
             # timed warm dispatches scaled by dispatch counts.
             t_factor, t_solve = _measure_kkt_times(
-                data, self.settings,
+                data, self._settings,
                 int(result.info.iter), int(result.info.factor_retires),
             )
             f = lambda v: jnp.asarray(v, result.info.rho.dtype)
@@ -443,7 +501,7 @@ class DenseSolver:
         self._result = result
         self._first_run = False
         status = Status(int(result.info.status))
-        if self.settings.verbose:
+        if self._settings.verbose:
             print(f"\nstatus:               {status.name.lower()}")
             print(f"number of iterations: {int(result.info.iter)}")
             print(f"objective:            {float(result.info.primal_obj):.5e}")

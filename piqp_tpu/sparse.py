@@ -78,7 +78,7 @@ class SparseSolver(DenseSolver):
     def setup(self, P, c, A=None, b=None, G=None, h_l=None, h_u=None,
               x_l=None, x_u=None) -> None:
         self._host_raw = None
-        if self.settings.kkt_solver == KKTBackend.multistage:
+        if self._settings.kkt_solver == KKTBackend.multistage:
             from . import multistage as ms
 
             try:
@@ -86,7 +86,7 @@ class SparseSolver(DenseSolver):
                                        h_u=h_u, x_l=x_l, x_u=x_u)
                 self._stage_data, self._layout = ms.from_sparse(
                     P, c, A, b, G, h_l, h_u, x_l, x_u,
-                    dtype=self.settings.jnp_dtype,
+                    dtype=self._settings.jnp_dtype,
                 )
                 self._cone = has_cone(self._stage_data)
                 self._result = None
@@ -98,8 +98,8 @@ class SparseSolver(DenseSolver):
                 self._stage_data = None
                 self._layout = None
         n = P.shape[0] if hasattr(P, "shape") else np.asarray(P).shape[0]
-        if self.settings.kkt_solver == KKTBackend.sparse_host or (
-            self.settings.kkt_solver == KKTBackend.dense_cholesky
+        if self._settings.kkt_solver == KKTBackend.sparse_host or (
+            self._settings.kkt_solver == KKTBackend.dense_cholesky
             and n > self.DENSE_ROUTING_MAX_N
         ):
             self._host_raw = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l,
@@ -133,7 +133,7 @@ class SparseSolver(DenseSolver):
             # the reference's nnz-map update, multistage_kkt.hpp:140-178)
             self._stage_data, self._layout = ms.update_values(
                 self._layout, **self._stage_raw,
-                dtype=self.settings.jnp_dtype,
+                dtype=self._settings.jnp_dtype,
             )
             self._cone = has_cone(self._stage_data)
             return
@@ -146,7 +146,7 @@ class SparseSolver(DenseSolver):
         solve's iterates (all backends: dense-routed, multistage, and the
         host fallback — no reference analog, solver.hpp:398-577)."""
         if self._host_raw is not None:
-            if not self.settings.verify():
+            if not self._settings.verify():
                 return Status.INVALID_SETTINGS
             from .hostsparse import HostResult, solve_sparse_host
 
@@ -157,8 +157,8 @@ class SparseSolver(DenseSolver):
             )
             res = solve_sparse_host(
                 **self._host_raw,
-                settings=self.settings,
-                verbose=self.settings.verbose,
+                settings=self._settings,
+                verbose=self._settings.verbose,
                 warm=hwarm,
             )
             self._result = res
@@ -166,7 +166,7 @@ class SparseSolver(DenseSolver):
             return Status(int(res.info.status))
         if self._stage_data is None:
             return super().solve(warm_start)
-        if not self.settings.verify():
+        if not self._settings.verify():
             return Status.INVALID_SETTINGS
         cone = self._cone
         warm = None
@@ -177,14 +177,14 @@ class SparseSolver(DenseSolver):
             warm = BasicVars(x=r.x, y=r.y, z_l=r.z_l, z_u=r.z_u,
                              z_bl=r.z_bl, z_bu=r.z_bu)
         t0 = time.perf_counter()
-        res, _ = _solve_fresh(self._stage_data, self.settings, cone, warm)
+        res, _ = _solve_fresh(self._stage_data, self._settings, cone, warm)
         res = jax.block_until_ready(res)
         solve_time = time.perf_counter() - t0
-        if self.settings.compute_timings:
+        if self._settings.compute_timings:
             from .api import _measure_kkt_times
 
             t_factor, t_solve = _measure_kkt_times(
-                self._stage_data, self.settings,
+                self._stage_data, self._settings,
                 int(res.info.iter), int(res.info.factor_retires),
             )
             import jax.numpy as jnp

@@ -159,3 +159,39 @@ def test_update_dead_row_pattern_change():
     assert np.any(np.asarray(s._data.G)[0] != 0.0)
     assert s.solve() == Status.SOLVED
     np.testing.assert_allclose(np.asarray(s.result.x), x_ref, atol=1e-7)
+
+
+def test_settings_attribute_mutation():
+    """Reference Python API parity: solver.settings.field = value works
+    (piqp_python.cpp exposes mutable settings); Settings stays frozen
+    underneath and the next solve honors the new values."""
+    import numpy as np
+    import pytest as _pytest
+
+    from piqp_tpu import DenseSolver, Settings, Status
+
+    P = np.array([[6.0, 0.0], [0.0, 4.0]])
+    c = np.array([-1.0, -4.0])
+    A = np.array([[1.0, -2.0]])
+    b = np.array([0.0])
+
+    s = DenseSolver()
+    s.settings.eps_abs = 1e-6
+    assert s.settings.eps_abs == 1e-6
+    assert s.settings == Settings(eps_abs=1e-6)
+    with _pytest.raises(AttributeError):
+        s.settings.not_a_field = 1.0
+    with _pytest.raises(Exception):
+        # the underlying Settings stays frozen
+        object.__getattribute__(s, "_settings").eps_abs = 1.0
+
+    s.settings.max_iter = 1
+    s.setup(P, c, A, b)
+    assert s.solve() == Status.MAX_ITER_REACHED
+    s.settings.max_iter = 250
+    assert s.solve() == Status.SOLVED
+    # assignment of a whole Settings (and of another solver's view) works
+    s.settings = Settings()
+    s2 = DenseSolver(Settings(eps_abs=1e-7))
+    s.settings = s2.settings
+    assert s.settings.eps_abs == 1e-7
