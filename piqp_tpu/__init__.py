@@ -36,7 +36,7 @@ from .api import (  # noqa: E402
     solve_prepared,
 )
 from .sparse import SparseSolver  # noqa: E402
-from .batch import solve_batch, prepare_batch  # noqa: E402
+from .batch import solve_batch, solve_batch_compact, prepare_batch  # noqa: E402
 from . import multistage  # noqa: E402  (registers the block backend dispatch)
 from .multistage import StageQPData  # noqa: E402
 from . import parallel  # noqa: E402  (registers the sharded backend dispatch)
@@ -67,6 +67,7 @@ __all__ = [
     "solve_dense",
     "solve_prepared",
     "solve_batch",
+    "solve_batch_compact",
     "StageQPData",
     "ShardedStageQPData",
     "shard_horizon",

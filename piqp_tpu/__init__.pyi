@@ -289,3 +289,11 @@ def qp_layer(
     x_u: Any = ...,
     settings: Optional[Settings] = ...,
 ) -> tuple[Any, QPData]: ...
+def solve_batch_compact(
+    data: QPData,
+    settings: Settings = ...,
+    cone: bool = ...,
+    chunk: int = ...,
+    warm: Optional[Any] = ...,
+    phase1_iters: Optional[int] = ...,
+) -> Result: ...

@@ -98,3 +98,56 @@ def test_batch_honors_kkt_solver_setting():
     assert type(_route_backend(data, st)) is FullKKTQPData
     res = solve_batch(data, settings=st)
     assert all(int(s) == Status.SOLVED for s in np.asarray(res.info.status))
+
+
+def test_compact_matches_one_pass():
+    """Straggler compaction solves every problem to the same tolerances as
+    the one-pass batch (statuses identical, solutions within the KKT
+    tolerance), with a deliberately tiny phase-1 budget so phase 2
+    actually runs."""
+    from piqp_tpu.batch import solve_batch_compact, warm_from_result
+
+    probs = [dense_strongly_convex_qp(24, 8, 12, seed=300 + i) for i in range(24)]
+    data = prepare_batch(probs)
+    r1 = solve_batch(data)
+    rc = solve_batch_compact(data, phase1_iters=6)
+    np.testing.assert_array_equal(
+        np.asarray(r1.info.status), np.asarray(rc.info.status)
+    )
+    assert np.all(np.asarray(rc.info.status) == int(Status.SOLVED))
+    np.testing.assert_allclose(np.asarray(rc.x), np.asarray(r1.x), atol=1e-6)
+    # stragglers carry phase-1 + phase-2 iteration counts
+    assert int(np.max(np.asarray(rc.info.iter))) >= 6
+
+    # warm re-solve path
+    wdata = data.replace(c=data.c * 1.01)
+    rw = solve_batch_compact(wdata, warm=warm_from_result(r1), phase1_iters=3)
+    assert np.all(np.asarray(rw.info.status) == int(Status.SOLVED))
+
+
+def test_compact_short_circuits_when_all_converge():
+    from piqp_tpu.batch import solve_batch_compact
+
+    probs = [dense_strongly_convex_qp(12, 4, 6, seed=400 + i) for i in range(8)]
+    data = prepare_batch(probs)
+    rc = solve_batch_compact(data, phase1_iters=200)
+    assert np.all(np.asarray(rc.info.status) == int(Status.SOLVED))
+
+
+def test_compact_preserves_infeasibility_detection():
+    """An infeasible problem in the batch must come back certified, not
+    retried forever: phase 2 gives it the full budget and the same
+    detection path."""
+    from piqp_tpu.batch import solve_batch_compact
+
+    probs = [dense_strongly_convex_qp(12, 4, 6, seed=500 + i) for i in range(7)]
+    # make one problem primal infeasible: contradictory equality rows
+    bad = dense_strongly_convex_qp(12, 4, 6, seed=599)
+    bad["A"] = np.vstack([bad["A"][:2], bad["A"][:2]])
+    bad["b"] = np.concatenate([bad["b"][:2], bad["b"][:2] + 1.0])
+    probs.append(bad)
+    data = prepare_batch(probs)
+    rc = solve_batch_compact(data, phase1_iters=4)
+    st = np.asarray(rc.info.status)
+    assert np.all(st[:7] == int(Status.SOLVED))
+    assert st[7] == int(Status.PRIMAL_INFEASIBLE)
