@@ -134,10 +134,18 @@ def main():
         dt = time.perf_counter() - t0
         return dt, solved, iters2, n_strag
 
+    # self-tune the phase-1 budget: one untimed full-budget warm solve of
+    # the first chunk gives the per-problem iteration distribution; set
+    # phase1 at the 95th percentile so ~5% become stragglers (mixed
+    # precision shifts the distribution up — a fixed constant misfires)
+    probe = _solve_batch_jit(warm_chunks[0], settings, True, warms[0])
+    probe_iters = np.asarray(probe.info.iter)
+    phase1 = int(np.clip(np.percentile(probe_iters, 95) + 1, 3, 16))
+
     # warmup the phase-1/phase-2 executables once, untimed
-    sweep_warm_compact()
-    warm_dt, warm_solved, warm_iters, n_strag = sweep_warm_compact()
-    warm_dt2, ws2, wi2, ns2 = sweep_warm_compact()
+    sweep_warm_compact(phase1)
+    warm_dt, warm_solved, warm_iters, n_strag = sweep_warm_compact(phase1)
+    warm_dt2, ws2, wi2, ns2 = sweep_warm_compact(phase1)
     if warm_dt2 < warm_dt:
         warm_dt, warm_solved, warm_iters, n_strag = warm_dt2, ws2, wi2, ns2
 
@@ -162,7 +170,7 @@ def main():
         warm_qps_per_s=round(B / warm_dt, 1),
         solved=cold_solved, warm_solved=warm_solved,
         max_iters=iters, warm_max_iters=round(float(warm_iters), 2),
-        compaction=True, stragglers=n_strag,
+        compaction=True, stragglers=n_strag, phase1=phase1,
         eff_gflops=round(eff_gflops, 2),
         iter_us_per_problem=round(warm_dt / (B * warm_iters) * 1e6, 2),
     )))

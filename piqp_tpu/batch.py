@@ -153,7 +153,11 @@ def solve_batch_compact(
     single-pass solve, but statuses and accuracy gates are identical.
 
     ``phase1_iters`` defaults to 4 for warm-started batches and 12 for
-    cold ones (the measured medians plus margin).
+    cold ones (the measured medians plus margin, f64 path).  Workload
+    shifts the distribution — mixed precision adds ~2 warm iterations —
+    so for a repeated workload, probe once with the full budget and set
+    ``phase1_iters`` at the ~95th percentile of ``result.info.iter`` + 1
+    (benchmarks/northstar_bench.py self-tunes exactly this way).
     """
     import dataclasses
 
