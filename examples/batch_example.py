@@ -49,6 +49,17 @@ def main():
           f"iters: mean {iters.mean():.1f} max {iters.max()}")
     print(f"objective spread: [{objs.min():.4f}, {objs.max():.4f}]")
 
+    # lockstep batches pay the max iteration count; two-phase straggler
+    # compaction removes the waste at identical tolerances
+    # (docs/batching.md)
+    from piqp_tpu.batch import solve_batch_compact
+
+    res_c = solve_batch_compact(data, Settings(), phase1_iters=int(np.median(iters)) + 1)
+    assert np.array_equal(np.asarray(res_c.info.status), status)
+    print(f"compacted: {int((np.asarray(res_c.info.status) == 1).sum())}/{B} "
+          f"solved, same tolerances, max lockstep depth "
+          f"{int(np.median(iters)) + 1} instead of {iters.max()}")
+
 
 if __name__ == "__main__":
     main()
