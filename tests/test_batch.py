@@ -124,6 +124,13 @@ def test_compact_matches_one_pass():
     rw = solve_batch_compact(wdata, warm=warm_from_result(r1), phase1_iters=3)
     assert np.all(np.asarray(rw.info.status) == int(Status.SOLVED))
 
+    # chunked phase 1 composes with compaction
+    rk = solve_batch_compact(data, phase1_iters=6, chunk=8)
+    np.testing.assert_array_equal(
+        np.asarray(rk.info.status), np.asarray(r1.info.status)
+    )
+    np.testing.assert_allclose(np.asarray(rk.x), np.asarray(r1.x), atol=1e-6)
+
 
 def test_compact_short_circuits_when_all_converge():
     from piqp_tpu.batch import solve_batch_compact
