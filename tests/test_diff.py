@@ -285,3 +285,36 @@ def test_multistage_diff_vmapped_fleet():
     np.testing.assert_allclose(
         np.asarray(gs[0]), np.asarray(gc(sdata.c)), atol=1e-8
     )
+
+
+def test_horizon_sharded_diff_matches_unsharded():
+    """Differentiable MPC ACROSS THE MESH: solve_qp_diff on a
+    ShardedStageQPData dispatches the adjoint through the partitioned-
+    Schur sharded factorization (subclass dispatch — zero extra code) and
+    must reproduce the unsharded structured gradient exactly."""
+    from jax.sharding import Mesh
+
+    from piqp_tpu import multistage as ms
+    from piqp_tpu.parallel import shard_horizon
+
+    ndev = min(8, len(jax.devices()))
+    if ndev < 2:
+        pytest.skip("needs a multi-device mesh")
+    sdata = ms.random_multistage_qp(T=2 * ndev, D=3, Da=2, ra=1, rg=2, seed=5)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("sp",))
+    sh = shard_horizon(sdata, mesh, "sp")
+
+    def loss_s(c):
+        d = dataclasses.replace(sdata, c=c)
+        return jnp.sum(solve_qp_diff(d, TIGHT, True).x ** 2)
+
+    def loss_sh(c):
+        with mesh:
+            d = dataclasses.replace(sh, c=c)
+            return jnp.sum(solve_qp_diff(d, TIGHT, True).x ** 2)
+
+    g_ref = jax.grad(loss_s)(sdata.c)
+    g_sh = jax.grad(loss_sh)(sh.c)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), atol=1e-10
+    )
