@@ -133,6 +133,9 @@ def main():
             "solved": res["solved"], "warm_solved": res["warm_solved"],
             "max_iters": res["max_iters"],
             "warm_max_iters": res.get("warm_max_iters"),
+            "compaction": res.get("compaction"),
+            "stragglers": res.get("stragglers"),
+            "phase1": res.get("phase1"),
             "eff_gflops": res.get("eff_gflops"),
             "iter_us_per_problem": res.get("iter_us_per_problem"),
             "baseline": {
