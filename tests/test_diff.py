@@ -318,3 +318,24 @@ def test_horizon_sharded_diff_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(g_sh), np.asarray(g_ref), atol=1e-10
     )
+
+
+def test_qp_layer_convenience():
+    """qp_layer: host-side prep + differentiable closure (the README
+    example); gradient on an equality-constrained QP has the closed form
+    dsum(x*)/dc = -sum over columns of the reduced KKT inverse."""
+    from piqp_tpu import qp_layer
+
+    P = np.array([[6.0, 0.0], [0.0, 4.0]])
+    c = np.array([-1.0, -4.0])
+    A = np.array([[1.0, -2.0]])
+    b = np.array([0.0])
+    solve, data = qp_layer(P, c, A, b)
+    x = np.asarray(solve(data))
+    np.testing.assert_allclose(x, [0.42857143, 0.21428571], atol=1e-7)
+
+    g = jax.grad(lambda d: solve(d).sum(), allow_int=True)(data)
+    K = np.block([[P, A.T], [A, np.zeros((1, 1))]])
+    Kinv = np.linalg.inv(K)
+    expected = -(Kinv[:2, :2].T @ np.ones(2))
+    np.testing.assert_allclose(np.asarray(g.c), expected, atol=1e-8)
