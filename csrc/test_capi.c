@@ -202,6 +202,27 @@ int main(void)
         piqp_tpu_free(ws);
     }
 
+    /* ---- backend selection: the dense_ldlt full-KKT signed Cholesky ---- */
+    {
+        piqp_tpu_settings_default(&settings);
+        settings.kkt_solver = PIQP_TPU_DENSE_LDLT;
+        piqp_tpu_workspace* wl = piqp_tpu_setup_dense(&data, &settings);
+        if (!wl) {
+            fprintf(stderr, "dense_ldlt setup failed: %s\n",
+                    piqp_tpu_last_error());
+            return 1;
+        }
+        status = piqp_tpu_solve(wl);
+        piqp_tpu_result rl;
+        piqp_tpu_get_result(wl, &rl);
+        if (status != 1 || !approx(rl.x[0], 3.0 / 7.0, 1e-6)) {
+            fprintf(stderr, "dense_ldlt solve wrong: status=%d x0=%f\n",
+                    status, rl.x[0]);
+            return 1;
+        }
+        piqp_tpu_free(wl);
+    }
+
     printf("C interface test passed\n");
     return 0;
 }
