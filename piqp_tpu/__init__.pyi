@@ -69,6 +69,7 @@ class Settings:
     pallas_kernels: bool
     verify_certificates: bool
     warm_start_mu: float
+    centrality_correctors: int
     def __init__(self, **kwargs: Any) -> None: ...
     def verify(self) -> bool: ...
     def static_reg_rel(self) -> float: ...

@@ -953,6 +953,55 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
     step, _ = kkt.solve(data, settings, ks, res)
 
     alpha_s, alpha_z = calculate_step(vars, step, data)
+
+    # ---- Gondzio multiple centrality correctors (opt-in; no reference
+    # analog).  Each round aims the outlier complementarity products of an
+    # enlarged trial step back into [beta_min, beta_max] x sigma*mu and
+    # re-solves with the SAME factorization; the round is kept only if it
+    # lengthens the step (monotone by construction).  Static count, so
+    # centrality_correctors=0 traces byte-identically to the reference
+    # algorithm (Gondzio 1996, "Multiple centrality corrections in a
+    # primal-dual method").
+    if settings.centrality_correctors > 0:
+        _DA, _BMIN, _BMAX, _GAMMA = 0.1, 0.1, 10.0, 0.01
+        mu_g = sigma * info.mu
+
+        def _gondzio_round(carry):
+            step, alpha_s, alpha_z, res = carry
+            a_s_t = jnp.minimum(alpha_s + _DA, 1.0)
+            a_z_t = jnp.minimum(alpha_z + _DA, 1.0)
+
+            def corr(s, z, ds, dz, mask):
+                v = (s + a_s_t * ds) * (z + a_z_t * dz)
+                t = jnp.clip(v, _BMIN * mu_g, _BMAX * mu_g)
+                return jnp.where(mask, t - v, 0.0)
+
+            res_t = res.replace(
+                s_l=res.s_l + corr(vars.s_l, vars.z_l, step.s_l, step.z_l,
+                                   data.hl_mask),
+                s_u=res.s_u + corr(vars.s_u, vars.z_u, step.s_u, step.z_u,
+                                   data.hu_mask),
+                s_bl=res.s_bl + corr(vars.s_bl, vars.z_bl, step.s_bl,
+                                     step.z_bl, data.xl_mask),
+                s_bu=res.s_bu + corr(vars.s_bu, vars.z_bu, step.s_bu,
+                                     step.z_bu, data.xu_mask),
+            )
+            step_t, _ = kkt.solve(data, settings, ks, res_t)
+            a_s2, a_z2 = calculate_step(vars, step_t, data)
+            accept = jnp.logical_and(
+                jnp.logical_and(a_s2 >= alpha_s, a_z2 >= alpha_z),
+                a_s2 + a_z2 > alpha_s + alpha_z + _GAMMA * _DA,
+            )
+            pick = lambda n, o: jnp.where(accept, n, o)
+            step = jax.tree.map(pick, step_t, step)
+            res = jax.tree.map(pick, res_t, res)
+            return (step, pick(a_s2, alpha_s), pick(a_z2, alpha_z), res)
+
+        carry = (step, alpha_s, alpha_z, res)
+        for _ in range(settings.centrality_correctors):
+            carry = _gondzio_round(carry)
+        step, alpha_s, alpha_z, res = carry
+
     primal_step = alpha_s * settings.tau
     dual_step = alpha_z * settings.tau
 

@@ -220,6 +220,15 @@ class Settings:
     # moved.  sqrt(warm_start_mu) is roughly the distance the point is
     # pushed off the boundary.
     warm_start_mu: float = 1e-7
+    # Gondzio multiple centrality correctors (no reference analog — the
+    # reference does one Mehrotra corrector).  After the standard corrector,
+    # up to this many extra correction solves re-center outlier
+    # complementarity products toward [0.1, 10] x sigma*mu at an enlarged
+    # trial step; a round is kept only if it lengthens the step.  Each round
+    # costs one backend solve — cheap next to the factorization the longer
+    # steps save.  0 (default) leaves the trace identical to the reference
+    # algorithm.
+    centrality_correctors: int = 0
 
     def verify(self) -> bool:
         """Mirror of Settings::verify_settings (settings.hpp:84-106)."""
@@ -241,6 +250,7 @@ class Settings:
             and self.tau <= 1
             and self.mixed_precision_mu_switch > 0
             and self.warm_start_mu > 0
+            and 0 <= self.centrality_correctors <= 10
             and self.iterative_refinement_eps_abs > 0
             and self.iterative_refinement_eps_rel >= 0
             and self.iterative_refinement_max_iter >= 0
