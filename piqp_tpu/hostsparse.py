@@ -57,6 +57,20 @@ class HostData:
     xu_mask: np.ndarray
 
     @property
+    def AT(self):
+        """Cached Aᵀ — repeated transpose construction per matvec was a
+        measurable share of small-problem solve time."""
+        if getattr(self, "_AT", None) is None:
+            self._AT = self.A.T.tocsr()
+        return self._AT
+
+    @property
+    def GT(self):
+        if getattr(self, "_GT", None) is None:
+            self._GT = self.G.T.tocsr()
+        return self._GT
+
+    @property
     def n(self):
         return self.P.shape[0]
 
@@ -183,50 +197,54 @@ def equilibrate_host(data: HostData, max_iter=10, scale_cost=False, epsilon=1e-3
     """Ruiz equilibration over CSC (same semantics as ruiz.py /
     sparse::RuizEquilibration, sparse/preconditioner.hpp:26-60+)."""
     n, p, m = data.n, data.p, data.m
-    P, A, G = data.P.copy(), data.A.copy(), data.G.copy()
+    # scale the CSC value arrays in place (pattern is fixed across Ruiz
+    # iterations); building diag matrices + matmuls per iteration dominated
+    # small-problem setup time
+    P, A, G = data.P.tocsc(copy=True), data.A.tocsc(copy=True), data.G.tocsc(copy=True)
+    Pcol = np.repeat(np.arange(n), np.diff(P.indptr))
+    Acol = np.repeat(np.arange(n), np.diff(A.indptr))
+    Gcol = np.repeat(np.arange(n), np.diff(G.indptr))
     c = data.c.copy()
     xb = data.x_b_scaling.copy()
     cost = 1.0
     d_x, d_y, d_z, d_b = np.ones(n), np.ones(p), np.ones(m), np.ones(n)
 
-    def colmax(M):
-        M = abs(M)
-        return np.asarray(M.max(axis=0).todense()).ravel() if M.shape[0] else np.zeros(M.shape[1])
-
-    def rowmax(M):
-        M = abs(M)
-        return np.asarray(M.max(axis=1).todense()).ravel() if M.shape[1] else np.zeros(M.shape[0])
+    def segmax(vals, idx, size):
+        out = np.zeros(size)
+        np.maximum.at(out, idx, np.abs(vals))
+        return out
 
     for _ in range(max_iter):
-        norm_x = colmax(P)
+        norm_x = segmax(P.data, Pcol, n)
         if p:
-            norm_x = np.maximum(norm_x, colmax(A))
+            norm_x = np.maximum(norm_x, segmax(A.data, Acol, n))
         if m:
-            norm_x = np.maximum(norm_x, colmax(G))
+            norm_x = np.maximum(norm_x, segmax(G.data, Gcol, n))
         norm_x = np.maximum(norm_x, xb)
         dx = 1.0 / np.sqrt(_limit_scaling(norm_x))
-        dy = 1.0 / np.sqrt(_limit_scaling(rowmax(A))) if p else np.ones(0)
-        dz = 1.0 / np.sqrt(_limit_scaling(rowmax(G))) if m else np.ones(0)
+        dy = (1.0 / np.sqrt(_limit_scaling(segmax(A.data, A.indices, p)))
+              if p else np.ones(0))
+        dz = (1.0 / np.sqrt(_limit_scaling(segmax(G.data, G.indices, m)))
+              if m else np.ones(0))
         db = 1.0 / np.sqrt(_limit_scaling(xb))
 
-        Dx = sp.diags(dx)
-        P = (Dx @ P @ Dx).tocsc()
+        P.data *= dx[P.indices] * dx[Pcol]
         if p:
-            A = (sp.diags(dy) @ A @ Dx).tocsc()
+            A.data *= dy[A.indices] * dx[Acol]
         if m:
-            G = (sp.diags(dz) @ G @ Dx).tocsc()
+            G.data *= dz[G.indices] * dx[Gcol]
         c = c * dx
         xb = xb * db * dx
         d_x, d_y, d_z, d_b = d_x * dx, d_y * dy, d_z * dz, d_b * db
 
         if scale_cost:
             # mean column norm of P vs |c|_inf (preconditioner.hpp:148-169)
-            pn = colmax(P)
+            pn = segmax(P.data, Pcol, n)
             gamma = _limit_scaling(np.asarray(pn.sum() / max(n, 1)))
             gamma = 1.0 / float(
                 _limit_scaling(np.maximum(gamma, np.abs(c).max(initial=0.0)))
             )
-            P = P * gamma
+            P.data *= gamma
             c = c * gamma
             cost *= gamma
 
@@ -268,6 +286,7 @@ class _KKT:
         # trajectories bit-identical while recovering the hard ones.
         self.refine = True
         self.refine_stalled = False
+        self._Kc = None  # cached (K pattern, diag positions, base values)
         # exact cumulative phase timers (results.hpp:87-88); instance
         # attributes shadow the methods with timed wrappers
         self.factor_time = 0.0
@@ -317,21 +336,50 @@ class _KKT:
         s.z_reg_f = s.z_reg + reg
         s.delta_f = delta + reg
 
+    def _kkt_cache(self):
+        """Assemble the KKT pattern ONCE; later factorizations scatter only
+        the three changing diagonals into the cached value array (the scipy
+        analog of the reference's nnz-map diagonal scatter,
+        sparse/kkt.hpp:83-105).  Data (P/A/G values) is immutable for the
+        lifetime of a _KKT instance, so only x_reg_f/delta_f/z_reg_f vary."""
+        if self._Kc is None:
+            d = self.data
+            n, p, m = d.n, d.p, d.m
+            # +1/-1 placeholders materialize every diagonal slot in the
+            # pattern even where P's diagonal is structurally zero
+            Pb = d.P.tocsc() + sp.diags(np.ones(n))
+            row_x = [Pb] + ([d.A.T] if p else []) + ([d.G.T] if m else [])
+            blocks = [row_x]
+            if p:
+                blocks.append([d.A, -sp.eye(p)] + ([None] if m else []))
+            if m:
+                blocks.append(
+                    [d.G] + ([None] if p else []) + [-sp.diags(np.ones(m))]
+                )
+            K = sp.bmat(blocks, format="csc") if (p or m) else Pb.tocsc()
+            K.sort_indices()
+            N = n + p + m
+            diag_pos = np.empty(N, dtype=np.int64)
+            for j in range(N):
+                lo, hi = K.indptr[j], K.indptr[j + 1]
+                diag_pos[j] = lo + np.searchsorted(K.indices[lo:hi], j)
+            base = K.data.copy()
+            base[diag_pos[:n]] -= 1.0
+            base[diag_pos[n:]] += 1.0
+            self._Kc = (K, diag_pos, base)
+        return self._Kc
+
     def factor(self):
         d = self.data
-        p, m = d.p, d.m
-        Pb = d.P + sp.diags(self.x_reg_f)
-        row_x = [Pb] + ([d.A.T] if p else []) + ([d.G.T] if m else [])
-        blocks = [row_x]
+        n, p, m = d.n, d.p, d.m
+        K, diag_pos, base = self._kkt_cache()
+        vals = base.copy()
+        vals[diag_pos[:n]] += self.x_reg_f
         if p:
-            blocks.append(
-                [d.A, -self.delta_f * sp.eye(p)] + ([None] if m else [])
-            )
+            vals[diag_pos[n:n + p]] -= self.delta_f
         if m:
-            blocks.append(
-                [d.G] + ([None] if p else []) + [-sp.diags(self.z_reg_f)]
-            )
-        K = sp.bmat(blocks, format="csc") if (p or m) else Pb.tocsc()
+            vals[diag_pos[n + p:]] -= self.z_reg_f
+        K.data[:] = vals
         try:
             self.lu = spla.splu(K)
             ok = np.isfinite(self.lu.L.data).all() and np.isfinite(self.lu.U.data).all()
@@ -348,10 +396,10 @@ class _KKT:
         ry = np.zeros(d.p)
         rz = np.zeros(d.m)
         if d.p:
-            rx = rx + d.A.T @ ly
+            rx = rx + d.AT @ ly
             ry = d.A @ lx - self.delta * ly
         if d.m:
-            rx = rx + d.G.T @ lz
+            rx = rx + d.GT @ lz
             rz = d.G @ lx - self.z_reg * lz
         return rx, ry, rz
 
@@ -795,10 +843,10 @@ def solve_host(
     def residuals_nr():
         Px = d.P @ v.x
         Ax = d.A @ v.x if p else np.zeros(0)
-        ATy = d.A.T @ v.y if p else np.zeros(n)
+        ATy = d.AT @ v.y if p else np.zeros(n)
         Gx = d.G @ v.x if m else np.zeros(0)
         dz_ = v.z_u - v.z_l
-        GTdz = d.G.T @ dz_ if m else np.zeros(n)
+        GTdz = d.GT @ dz_ if m else np.zeros(n)
 
         dual_rel = _inf(Px * ud_x)
         xPx = v.x @ Px

@@ -90,9 +90,12 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref, *, n: int):
         )  # (TB, 1, n)
         ej = jnp.where(col_ids == j, jnp.ones((), dt), jnp.zeros((), dt))
         linv_ref[:, pl.ds(j, 1), :] = (ej - acc) * dinv
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, step, 0)
+    # int32 loop bounds: under x64 an int64 induction variable forces an
+    # i32->i64 convert in the kernel, which this Mosaic lowering cannot
+    # emit (infinite _convert_helper recursion on the axon plugin)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), step, jnp.int32(0))
     # zero strict upper triangle of L (cholesky contract)
     l_ref[:] = jnp.where(col_ids > row_ids, jnp.zeros((), dt), l_ref[:])
 
@@ -221,9 +224,12 @@ def _signed_chol_inv_kernel(a_ref, s_ref, l_ref, linv_ref, *, n: int):
         )
         ej = jnp.where(col_ids == j, jnp.ones((), dt), jnp.zeros((), dt))
         linv_ref[:, pl.ds(j, 1), :] = (ej - acc) * dinv
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, step, 0)
+    # int32 loop bounds: under x64 an int64 induction variable forces an
+    # i32->i64 convert in the kernel, which this Mosaic lowering cannot
+    # emit (infinite _convert_helper recursion on the axon plugin)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), step, jnp.int32(0))
     l_ref[:] = jnp.where(col_ids > row_ids, jnp.zeros((), dt), l_ref[:])
 
 
