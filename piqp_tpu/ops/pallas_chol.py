@@ -47,6 +47,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# index maps must return i32 under jax_enable_x64: i64 block offsets fail
+# Mosaic legalization ('func.return (i32, i64, i64)') on the real TPU
+_I0 = jnp.int32(0)
+
 # problems per grid instance; amortizes the n sequential steps across a
 # VMEM-resident tile of the batch
 _TB = 8
@@ -63,33 +67,51 @@ def _chol_inv_kernel(a_ref, l_ref, linv_ref, *, n: int):
       W     -= lcol lcol^T     masked to cols > j  (rank-1, VPU)
       Linv_j = (e_j - L[j, :j] Linv[:j, :]) / d    (batched matvec, MXU)
     Upper-triangle garbage is masked on read and zeroed at the end.
+
+    Mosaic constraint (real-TPU lowering): dynamic indices into the lane
+    (last) dimension must be 128-aligned, so ``pl.ds(j, 1)`` loads/stores
+    are unlowerable.  Column/row j are instead extracted with masked
+    lane/sublane reductions and written back with masked full-tile
+    read-modify-write stores; the transpose lcol -> lcol^T is avoided by
+    reading row j of the (symmetric) trailing block instead.  All O(n^2)
+    per step, same asymptotics as the rank-1 update itself.
     """
     dt = l_ref.dtype
     row_ids = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)  # (1, n, 1)
     col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)  # (1, 1, n)
+    zero = jnp.zeros((), dt)
 
     l_ref[:] = a_ref[:]
     linv_ref[:] = jnp.zeros_like(linv_ref)
 
     def step(j, _):
-        d2 = l_ref[:, pl.ds(j, 1), pl.ds(j, 1)]  # (TB, 1, 1)
+        W = l_ref[:]
+        is_row_j = row_ids == j
+        is_col_j = col_ids == j
+        # row j (pre-update): cols < j hold final L entries; cols >= j
+        # mirror column j because the trailing block stays symmetric
+        rowj = jnp.sum(jnp.where(is_row_j, W, zero), axis=1, keepdims=True)
+        d2 = jnp.sum(jnp.where(is_col_j, rowj, zero), axis=2, keepdims=True)
         dinv = lax.rsqrt(d2)
-        col = l_ref[:, :, pl.ds(j, 1)]  # (TB, n, 1)
-        lcol = jnp.where(row_ids >= j, col * dinv, jnp.zeros((), dt))
-        l_ref[:, :, pl.ds(j, 1)] = lcol
-        # trailing rank-1 update, restricted to columns > j
-        upd = lcol * jnp.swapaxes(lcol, 1, 2)  # (TB, n, n) outer product
-        l_ref[:] = l_ref[:] - jnp.where(col_ids > j, upd, jnp.zeros((), dt))
+        col = jnp.sum(jnp.where(is_col_j, W, zero), axis=2, keepdims=True)
+        lcol = jnp.where(row_ids >= j, col * dinv, zero)  # (TB, n, 1)
+        # transpose-free outer product: lcol^T restricted to cols > j
+        lcolT = jnp.where(col_ids > j, rowj * dinv, zero)  # (TB, 1, n)
+        W = W - lcol * lcolT
+        W = jnp.where(is_col_j, jnp.broadcast_to(lcol, W.shape), W)
+        l_ref[:] = W
         # fused forward substitution: row j of Linv
-        lrow = l_ref[:, pl.ds(j, 1), :]  # (TB, 1, n); cols < j are final
-        lrow = jnp.where(col_ids < j, lrow, jnp.zeros((), dt))
+        lrow = jnp.where(col_ids < j, rowj, zero)
         acc = lax.dot_general(
             lrow, linv_ref[:],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=dt,
         )  # (TB, 1, n)
-        ej = jnp.where(col_ids == j, jnp.ones((), dt), jnp.zeros((), dt))
-        linv_ref[:, pl.ds(j, 1), :] = (ej - acc) * dinv
+        ej = jnp.where(is_col_j, jnp.ones((), dt), zero)
+        newrow = (ej - acc) * dinv
+        linv_ref[:] = jnp.where(
+            is_row_j, jnp.broadcast_to(newrow, W.shape), linv_ref[:]
+        )
         return jnp.int32(0)
 
     # int32 loop bounds: under x64 an int64 induction variable forces an
@@ -116,13 +138,13 @@ def _pallas_chol_inv_batched(K: jax.Array) -> tuple[jax.Array, jax.Array]:
         functools.partial(_chol_inv_kernel, n=n),
         grid=(Bp // tb,),
         in_specs=[
-            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -201,29 +223,44 @@ def _signed_chol_inv_kernel(a_ref, s_ref, l_ref, linv_ref, *, n: int):
     dt = l_ref.dtype
     row_ids = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
     col_ids = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    zero = jnp.zeros((), dt)
 
     l_ref[:] = a_ref[:]
     linv_ref[:] = jnp.zeros_like(linv_ref)
+    s_row = s_ref[:]  # (1, 1, n), static load
 
     def step(j, _):
-        sj = s_ref[:, :, pl.ds(j, 1)]  # (1, 1, 1)
-        d2 = l_ref[:, pl.ds(j, 1), pl.ds(j, 1)] * sj  # > 0 when quasi-def
+        W = l_ref[:]
+        is_row_j = row_ids == j
+        is_col_j = col_ids == j
+        sj = jnp.sum(jnp.where(is_col_j, s_row, zero), axis=2, keepdims=True)
+        # row j (pre-update): cols < j final, cols >= j mirror column j
+        # (trailing block symmetric); see _chol_inv_kernel for the Mosaic
+        # lane-dimension constraint this formulation satisfies
+        rowj = jnp.sum(jnp.where(is_row_j, W, zero), axis=1, keepdims=True)
+        d2 = sj * jnp.sum(
+            jnp.where(is_col_j, rowj, zero), axis=2, keepdims=True
+        )  # > 0 when quasi-definite
         dinv = lax.rsqrt(d2)
-        col = l_ref[:, :, pl.ds(j, 1)]
+        col = jnp.sum(jnp.where(is_col_j, W, zero), axis=2, keepdims=True)
         # l_ij = W_ij / (s_j d) = W_ij * dinv * s_j
-        lcol = jnp.where(row_ids >= j, col * dinv * sj, jnp.zeros((), dt))
-        l_ref[:, :, pl.ds(j, 1)] = lcol
-        upd = (lcol * jnp.swapaxes(lcol, 1, 2)) * sj
-        l_ref[:] = l_ref[:] - jnp.where(col_ids > j, upd, jnp.zeros((), dt))
-        lrow = l_ref[:, pl.ds(j, 1), :]
-        lrow = jnp.where(col_ids < j, lrow, jnp.zeros((), dt))
+        lcol = jnp.where(row_ids >= j, col * dinv * sj, zero)
+        # upd_ik = lcol_i lcol_k s_j; lcol_k read transpose-free from row j
+        lcolT = jnp.where(col_ids > j, rowj * dinv, zero)  # = lcol^T * s_j
+        W = W - lcol * lcolT
+        W = jnp.where(is_col_j, jnp.broadcast_to(lcol, W.shape), W)
+        l_ref[:] = W
+        lrow = jnp.where(col_ids < j, rowj, zero)
         acc = lax.dot_general(
             lrow, linv_ref[:],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=dt,
         )
-        ej = jnp.where(col_ids == j, jnp.ones((), dt), jnp.zeros((), dt))
-        linv_ref[:, pl.ds(j, 1), :] = (ej - acc) * dinv
+        ej = jnp.where(is_col_j, jnp.ones((), dt), zero)
+        newrow = (ej - acc) * dinv
+        linv_ref[:] = jnp.where(
+            is_row_j, jnp.broadcast_to(newrow, W.shape), linv_ref[:]
+        )
         return jnp.int32(0)
 
     # int32 loop bounds: under x64 an int64 induction variable forces an
@@ -250,15 +287,15 @@ def _pallas_signed_chol_inv_batched(K, signs):
         functools.partial(_signed_chol_inv_kernel, n=n),
         grid=(Bp // tb,),
         in_specs=[
-            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, 1, n), lambda i: (_I0, _I0, _I0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
