@@ -22,6 +22,17 @@ runtime (docs/performance.md): all uploads before the first dispatch, every
 timed region ends in a device->host readback (block_until_ready can return
 early), dispatches chunked to stay inside the per-dispatch envelope.
 
+Robustness (round-2 postmortem: the driver's `timeout` killed bench.py
+with NOTHING printed, BENCH_r02.json rc=124):
+  - a global wall-clock budget (BENCH_BUDGET_S, default 1080 s) enforced
+    with SIGALRM; per-attempt subprocess timeouts are carved out of the
+    remaining budget so the total can never exceed it;
+  - SIGTERM/SIGALRM handlers print the best result gathered so far (or an
+    error record) as the final JSON line before exiting, so even a driver
+    timeout leaves a parseable line in the output tail;
+  - device probes are short (90 s / 45 s) and a dead tunnel falls back to
+    XLA-CPU, clearly labeled in `extra`.
+
 "extra" carries the effective-GFLOP/s + per-iteration device time derived
 from an analytic flop model so the runtime ceiling is quantified: this
 tunnel executes large executables at ~20-40 GFLOP/s regardless of precision
@@ -31,11 +42,16 @@ silicon; absolute numbers reflect the tunnel, not the architecture.
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 REF_BASELINE = os.path.join(REPO, "benchmarks", "ref_baseline.json")
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+_T0 = time.monotonic()
 
 # (dim, B, chunk, mixed) attempts, first success wins; later entries shrink
 # the per-dispatch working set for flakier runtime days.
@@ -46,6 +62,39 @@ ATTEMPTS = [
     (64, 256, 128, 0),
 ]
 
+METRIC = "aggregate warm QP-solves/sec (config 2: 1024 vmapped dense QPs, n=64)"
+
+# Best payload gathered so far; the signal handlers print this.
+_payload = {
+    "metric": METRIC,
+    "value": 0.0,
+    "unit": "solves/sec",
+    "vs_baseline": 0.0,
+    "error": "bench interrupted before any config completed",
+}
+_printed = False
+_child = None  # active benchmark subprocess, killed by the signal handler
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit_and_exit(signum=None, frame=None):
+    """Print the best-so-far JSON line exactly once and exit."""
+    global _printed
+    if not _printed:
+        _printed = True
+        print(json.dumps(_payload), flush=True)
+    if _child is not None and _child.poll() is None:
+        try:
+            _child.kill()
+        except OSError:
+            pass
+    # exit(0) so a SIGTERM from the driver's `timeout` still leaves a clean
+    # parseable tail rather than a traceback
+    os._exit(0)
+
 
 def _cpu_env():
     env = dict(os.environ)
@@ -54,22 +103,26 @@ def _cpu_env():
     return env
 
 
-def run_config(dim, B, chunk, mixed, timeout=2400, env=None):
+def run_config(dim, B, chunk, mixed, timeout, env=None):
+    global _child
     cmd = [
         sys.executable,
         os.path.join(REPO, "benchmarks", "northstar_bench.py"),
         str(dim), str(B), str(chunk), str(mixed),
     ]
+    _child = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env=env,
+    )
     try:
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO,
-            env=env,
-        )
+        stdout, stderr = _child.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
-        return None, "timeout"
-    if out.returncode != 0:
-        return None, (out.stderr or out.stdout)[-500:]
-    for line in reversed(out.stdout.strip().splitlines()):
+        _child.kill()
+        _child.communicate()
+        return None, "timeout(%ds)" % timeout
+    if _child.returncode != 0:
+        return None, (stderr or stdout)[-500:]
+    for line in reversed(stdout.strip().splitlines()):
         try:
             return json.loads(line), None
         except json.JSONDecodeError:
@@ -77,7 +130,7 @@ def run_config(dim, B, chunk, mixed, timeout=2400, env=None):
     return None, "no JSON in output"
 
 
-def device_alive(timeout=240):
+def device_alive(timeout):
     """Probe the accelerator in a subprocess (a dead tunnel hangs import)."""
     code = (
         "import jax, numpy as np\n"
@@ -95,35 +148,54 @@ def device_alive(timeout=240):
 
 
 def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    # hard backstop 20 s before the budget so the final line always lands
+    signal.alarm(max(30, int(BUDGET_S - 20)))
+
     with open(REF_BASELINE) as f:
         ref = json.load(f)
 
     errors = []
     env = None
-    if not device_alive() and not device_alive():
-        # tunnel down: run the metric on XLA-CPU, clearly labeled in extra
-        errors.append("accelerator probe failed twice; falling back to XLA-CPU")
-        env = _cpu_env()
+    if not device_alive(timeout=min(90, max(10, _remaining() - 120))):
+        if not device_alive(timeout=min(45, max(10, _remaining() - 90))):
+            errors.append(
+                "accelerator probe failed twice; falling back to XLA-CPU")
+            env = _cpu_env()
+
+    res = None
     for dim, B, chunk, mixed in ATTEMPTS:
-        res, err = run_config(dim, B, chunk, mixed, env=env)
+        slice_s = _remaining() - 30  # leave room to print
+        if slice_s < 60:
+            errors.append("budget exhausted before B=%d attempt" % B)
+            break
+        res, err = run_config(dim, B, chunk, mixed,
+                              timeout=int(slice_s), env=env)
         if res is not None:
             break
         errors.append(f"B={B},chunk={chunk},mixed={mixed}: {err}")
-    else:
-        print(json.dumps({
-            "metric": "aggregate warm QP-solves/sec (config 2: vmapped dense n=64)",
-            "value": 0.0, "unit": "solves/sec", "vs_baseline": 0.0,
-            "error": "; ".join(errors)[-1200:],
-        }))
-        return
+        # A large dispatch can CRASH the TPU worker (kernel fault), which
+        # poisons the tunnel for every later attempt.  Re-probe after a
+        # failure; if the device is gone, run the remaining attempts on
+        # XLA-CPU instead of burning the budget on a dead tunnel.
+        if env is None and _remaining() > 120:
+            if not device_alive(timeout=min(90, max(10, _remaining() - 90))):
+                errors.append(
+                    "device probe failed after attempt crash; "
+                    "remaining attempts on XLA-CPU")
+                env = _cpu_env()
+
+    if res is None:
+        _payload["error"] = "; ".join(errors)[-1200:]
+        _emit_and_exit()
 
     refc = ref["configs"][str(res["dim"])]
     value = res["warm_qps_per_s"]
     vs = value / refc["warm_qps_per_s"]
-    print(json.dumps({
-        "metric": "aggregate warm QP-solves/sec (config 2: 1024 vmapped dense QPs, n=64)",
+    _payload.pop("error", None)
+    _payload.update({
         "value": round(value, 1),
-        "unit": "solves/sec",
         "vs_baseline": round(vs, 3),
         "extra": {
             "device": res["device"],
@@ -146,7 +218,8 @@ def main():
             },
             "attempt_errors": errors or None,
         },
-    }))
+    })
+    _emit_and_exit()
 
 
 if __name__ == "__main__":
