@@ -43,13 +43,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # index maps must return i32 under jax_enable_x64: i64 block offsets fail
-# Mosaic legalization ('func.return (i32, i64, i64)') on the real TPU
-_I0 = jnp.int32(0)
+# Mosaic legalization ('func.return (i32, i64, i64)') on the real TPU.
+# A numpy scalar (not jnp: traced-Array constants captured by an index-map
+# lambda are rejected by pallas_call's closure-constant check) keeps the
+# dtype i32 on both the compiled and interpret paths.
+_I0 = np.int32(0)
 
 # problems per grid instance; amortizes the n sequential steps across a
 # VMEM-resident tile of the batch
