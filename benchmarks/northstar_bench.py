@@ -2,7 +2,7 @@
 dense strongly-convex QPs, solved batched (vmap) on the accelerator, versus
 the single-core reference solver on identical problem data.
 
-Usage:  python benchmarks/northstar_bench.py <dim> [B] [chunk] [mixed]
+Usage:  python benchmarks/northstar_bench.py <dim> [B] [chunk] [mixed] [pallas]
 
 Runs ONE config and prints one JSON line — the caller (bench.py) runs each
 config in a fresh subprocess because the tunneled axon runtime degrades
@@ -47,8 +47,14 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     mixed = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+    pallas = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    # opt-in experiment knob: Gondzio centrality correctors trade extra KKT
+    # solves per iteration for fewer iterations
+    import os
+    gondzio = int(os.environ.get("PIQP_NS_GONDZIO", "0"))
 
-    settings = Settings(mixed_precision=mixed)
+    settings = Settings(mixed_precision=mixed, pallas_kernels=pallas,
+                        centrality_correctors=gondzio)
     problems = batch_problems(dim, B)
 
     # stack on host, then upload all chunks (and the perturbed-c warm
@@ -149,6 +155,19 @@ def main():
     if warm_dt2 < warm_dt:
         warm_dt, warm_solved, warm_iters, n_strag = warm_dt2, ws2, wi2, ns2
 
+    # plain warm sweep (full budget, no compaction): on a dispatch-latency-
+    # dominated runtime the extra phase-2 dispatch can cost more than the
+    # lockstep straggler iterations it saves; measure both, report the
+    # better (identical tolerances — only the dispatch structure differs)
+    plain_dt, plain_solved, plain_iters, _ = sweep(warm_chunks, warms)
+    plain_dt2, ps2, pi2, _ = sweep(warm_chunks, warms)
+    if plain_dt2 < plain_dt:
+        plain_dt, plain_solved, plain_iters = plain_dt2, ps2, pi2
+    compacted = warm_dt <= plain_dt
+    if not compacted:
+        warm_dt, warm_solved, warm_iters, n_strag = (
+            plain_dt, plain_solved, plain_iters, 0)
+
     # Analytic per-problem-per-IPM-iteration flop estimate for the condensed
     # dense path (factor n^3/3 + ~2 refined triangular-solve pairs at 2n^2
     # each + condensation/residual matvecs ~6n^2): a lower bound on useful
@@ -163,14 +182,15 @@ def main():
     eff_gflops = total_flops / warm_dt / 1e9
 
     print(json.dumps(dict(
-        dim=dim, B=B, chunk=chunk, mixed=mixed,
+        dim=dim, B=B, chunk=chunk, mixed=mixed, pallas=pallas,
         device=str(jax.devices()[0]),
         cold_s=round(cold_dt, 4), warm_s=round(warm_dt, 4),
         cold_qps_per_s=round(B / cold_dt, 1),
         warm_qps_per_s=round(B / warm_dt, 1),
         solved=cold_solved, warm_solved=warm_solved,
         max_iters=iters, warm_max_iters=round(float(warm_iters), 2),
-        compaction=True, stragglers=n_strag, phase1=phase1,
+        compaction=bool(compacted), stragglers=n_strag, phase1=phase1,
+        plain_warm_qps_per_s=round(B / plain_dt, 1),
         eff_gflops=round(eff_gflops, 2),
         iter_us_per_problem=round(warm_dt / (B * warm_iters) * 1e6, 2),
     )))
