@@ -50,7 +50,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 REF_BASELINE = os.path.join(REPO, "benchmarks", "ref_baseline.json")
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
 _T0 = time.monotonic()
 
 # (dim, B, chunk, mixed, pallas) attempts, run in order while budget lasts;

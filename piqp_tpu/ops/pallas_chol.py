@@ -173,15 +173,45 @@ def _chol_inv_xla(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     return L, Linv
 
 
+def _chol_inv_rank1(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f64-on-accelerator route.  The TPU runtime lowers f64
+    lax.linalg.cholesky / triangular_solve ~100x slower than f64 GEMMs
+    (measured: 570 us vs 8.5 us per n=64 problem in-graph,
+    benchmarks/kernel_roofline.py), so build the factor AND its inverse
+    from rank-1 VPU updates + MXU GEMMs instead: the blocked signed
+    Cholesky of ops/ldlt.py with all-positive signs IS a plain Cholesky
+    (2.6x faster at n=64, 7.4x at n=256), and the fused block inverses
+    expand to the full L^-1 by block forward substitution (GEMMs only)."""
+    from . import ldlt
+
+    n = K.shape[-1]
+    Np = ldlt.padded_dim(n)
+    # identity padding decouples: chol(K + I-block) = chol(K) + I-block,
+    # so slicing back to n x n is exact
+    Kp = ldlt.pad_quasidef(K, Np)
+    signs = jnp.ones((Np,), K.dtype)
+    L, Linv = _signed_inv_xla(Kp, signs)
+    return L[:n, :n], Linv[:n, :n]
+
+
+def _chol_inv_fallback(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Route non-Pallas factorizations by measured hardware behavior:
+    f32 XLA cholesky is fine everywhere; f64 (and other dtypes) on an
+    accelerator take the rank-1/GEMM build."""
+    if K.dtype != jnp.float32 and jax.default_backend() != "cpu":
+        return _chol_inv_rank1(K)
+    return _chol_inv_xla(K)
+
+
 @jax.custom_batching.custom_vmap
 def cholesky_with_inverse(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     """L = chol(K) and Linv = L^-1 for one (n, n) SPD matrix.
 
     Under vmap (the batched-fleet regime) this dispatches to the Pallas
-    kernel; unbatched it uses XLA.  Solves then become GEMMs:
-    K^-1 v = Linv^T (Linv v).
+    kernel; unbatched it uses XLA (f32) or the rank-1/GEMM build (f64 on
+    an accelerator).  Solves then become GEMMs: K^-1 v = Linv^T (Linv v).
     """
-    return _chol_inv_xla(K)
+    return _chol_inv_fallback(K)
 
 
 @cholesky_with_inverse.def_vmap
@@ -202,7 +232,7 @@ def _cholesky_with_inverse_vmap(axis_size, in_batched, K):
     if kernel_ok:
         out = _pallas_chol_inv_batched(K)
     else:
-        out = jax.vmap(_chol_inv_xla)(K)
+        out = jax.vmap(_chol_inv_fallback)(K)
     return out, (True, True)
 
 

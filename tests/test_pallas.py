@@ -138,3 +138,21 @@ def test_multistage_cr_pallas_mixed():
     np.testing.assert_allclose(
         np.asarray(res_p.x), np.asarray(res_x.x), atol=1e-6, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("n", [24, 64, 130])
+def test_chol_inv_rank1_matches_xla(n):
+    """The f64-on-accelerator fallback (rank-1/GEMM build, including the
+    identity-padding slice for n not a multiple of the block) must agree
+    with XLA cholesky + triangular inverse."""
+    from piqp_tpu.ops.pallas_chol import _chol_inv_rank1, _chol_inv_xla
+
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n), dtype=jnp.float64)
+    L1, Linv1 = _chol_inv_rank1(K)
+    L2, Linv2 = _chol_inv_xla(K)
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L2),
+                               atol=1e-10, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Linv1), np.asarray(Linv2),
+                               atol=1e-10, rtol=1e-8)
