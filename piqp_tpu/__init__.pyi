@@ -66,7 +66,7 @@ class Settings:
     dtype: str
     mixed_precision: bool
     mixed_precision_mu_switch: float
-    pallas_kernels: bool
+    pallas_kernels: bool | None
     verify_certificates: bool
     warm_start_mu: float
     centrality_correctors: int

@@ -38,6 +38,7 @@ from .types import (
     Settings,
     Vars,
     _pytree_dataclass,
+    use_pallas,
 )
 
 
@@ -155,7 +156,7 @@ def empty_factor(data, settings: Settings = None):
 
 @empty_factor.register
 def _(data: QPData, settings: Settings = None):
-    if settings is not None and settings.pallas_kernels:
+    if use_pallas(settings):
         return (jnp.zeros_like(data.P), jnp.zeros_like(data.P))
     return jnp.zeros_like(data.P)
 
@@ -387,7 +388,7 @@ def _(data: LDLTKKTQPData, settings: Settings = None):
 
     Np = ldlt.padded_dim(data.n + data.p + data.m)
     dt = data.P.dtype
-    if settings is not None and settings.pallas_kernels:
+    if use_pallas(settings):
         # full-inverse representation: the signed Pallas kernel
         # (ops/pallas_chol.signed_cholesky_with_inverse) under vmap
         return (jnp.zeros((Np, Np), dt), jnp.zeros((Np, Np), dt))

@@ -45,7 +45,7 @@ from jax import lax
 from . import kkt as kkt_mod
 from . import ruiz as ruiz_mod
 from .ops import matvec as mv
-from .types import PIQP_INF, QPData, Scaling, _pytree_dataclass
+from .types import PIQP_INF, QPData, Scaling, _pytree_dataclass, use_pallas
 
 
 @_pytree_dataclass
@@ -274,7 +274,7 @@ def _(data: StageQPData, settings=None):
         # placeholder structure selects the factor representation (see
         # kkt.empty_factor): 5-tuple CR levels route the odd-block potrf
         # and every block solve through the Pallas kernel
-        pallas = settings is not None and settings.pallas_kernels
+        pallas = use_pallas(settings)
         return _cr_empty(T, D, Da, dt, pallas)
     C = _chunk_count(T)
     if C is not None:
@@ -285,7 +285,7 @@ def _(data: StageQPData, settings=None):
         if _use_cr(Qi):
             # chunk interiors factor by cyclic reduction (C-batched);
             # level arity again selects the Pallas kernel
-            pallas = settings is not None and settings.pallas_kernels
+            pallas = use_pallas(settings)
             local = jax.tree.map(
                 lambda a: jnp.zeros((C,) + a.shape, dt),
                 _cr_chain_empty(Qi, D, W, dt, pallas),

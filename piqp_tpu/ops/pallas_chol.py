@@ -185,12 +185,17 @@ def _chol_inv_rank1(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     from . import ldlt
 
     n = K.shape[-1]
-    Np = ldlt.padded_dim(n)
+    # the f64 VPU work of the blocked build scales as n * bs^2, so small
+    # blocks win big at small n (measured (B=256, n=64): bs=16 -> 28 us
+    # per problem vs bs=64 -> 221 us; (32, 256): bs=32 best) while the
+    # extra per-block GEMMs stay cheap on the f64 MXU path
+    bs = 16 if n <= 128 else 32
+    Np = ldlt.padded_dim(n, bs)
     # identity padding decouples: chol(K + I-block) = chol(K) + I-block,
     # so slicing back to n x n is exact
     Kp = ldlt.pad_quasidef(K, Np)
     signs = jnp.ones((Np,), K.dtype)
-    L, Linv = _signed_inv_xla(Kp, signs)
+    L, Linv = _signed_inv_xla(Kp, signs, block=bs)
     return L[:n, :n], Linv[:n, :n]
 
 
@@ -344,13 +349,15 @@ def _pallas_signed_chol_inv_batched(K, signs):
     return L, Linv
 
 
-def _signed_inv_xla(K, signs):
+def _signed_inv_xla(K, signs, block=None):
     """Unbatched / oversized fallback: blocked signed Cholesky
     (ops/ldlt.py) + full triangular inverse by block forward substitution
     against the identity."""
     from . import ldlt
 
-    L, Linvs = ldlt.signed_cholesky(K, signs)
+    if block is None:
+        block = ldlt.DEFAULT_BLOCK
+    L, Linvs = ldlt.signed_cholesky(K, signs, block=block)
     N = L.shape[-1]
     nb, bs, _ = Linvs.shape
     eye = jnp.eye(N, dtype=K.dtype)

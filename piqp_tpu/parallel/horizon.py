@@ -64,7 +64,7 @@ from ..multistage import (
     cr_chain_factor,
     cr_chain_fwd,
 )
-from ..types import Result, Settings
+from ..types import Result, Settings, use_pallas
 
 
 def _shift_up(a):
@@ -206,7 +206,7 @@ def _(data: ShardedStageQPData, settings=None):
         # chunk interiors factor by cyclic reduction (log-depth per chip);
         # placeholder structure selects the scheme, level arity the Pallas
         # kernel (same convention as multistage.empty_factor)
-        pallas = settings is not None and settings.pallas_kernels
+        pallas = use_pallas(settings)
         local = jax.tree.map(
             lambda a: jnp.zeros((ndev * a.shape[0],) + a.shape[1:], dt),
             _cr_chain_empty(Qi, D, W, dt, pallas),

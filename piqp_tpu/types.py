@@ -199,13 +199,15 @@ class Settings:
     # (late-IPM condensed systems exceed float32's conditioning range).
     mixed_precision: bool = False
     mixed_precision_mu_switch: float = 1e-5
-    # Use the Pallas batched Cholesky + fused-triangular-inverse kernel for
-    # the condensed dense backend (ops/pallas_chol.py).  Designed for the
-    # vmapped-fleet regime (n <= 256); triangular solves become batched
-    # GEMMs against the precomputed L^-1.  On TPU the kernel is
-    # float32-native, so pair with mixed_precision=True for the device path
-    # (float64 runs through the same kernel in interpreter mode on CPU).
-    pallas_kernels: bool = False
+    # Use the Pallas batched Cholesky + fused-triangular-inverse kernel and
+    # the factor-with-inverse representation for the condensed dense backend
+    # (ops/pallas_chol.py): f32 fleets (n <= 256) hit the Mosaic kernel,
+    # f64 on an accelerator takes the rank-1/GEMM build that avoids XLA's
+    # ~100x-slow f64 cholesky/triangular_solve lowerings, and solves become
+    # GEMMs against the precomputed L^-1.  None (default) = auto: ON for
+    # accelerator backends, OFF on CPU — measured 1.4-2.8x end-to-end
+    # across fleet and single-problem workloads (docs/performance.md).
+    pallas_kernels: bool | None = None
     # Validate Farkas certificates before returning PRIMAL/DUAL_INFEASIBLE
     # (no reference analog — the reference certifies from stall counters
     # alone, solver.hpp:616-630, which is trajectory-sensitive).  A failed
@@ -271,6 +273,19 @@ class Settings:
             return self.iterative_refinement_static_regularization_rel
         eps = float(jnp.finfo(self.jnp_dtype).eps)
         return eps * eps
+
+
+def use_pallas(settings: "Settings | None") -> bool:
+    """Resolve ``Settings.pallas_kernels`` at trace time: ``None`` means
+    auto — ON for accelerator backends, OFF for CPU (where the un-fused
+    XLA routes are the fast path and the kernels only run interpreted)."""
+    import jax
+
+    if settings is None:
+        return False
+    if settings.pallas_kernels is None:
+        return jax.default_backend() != "cpu"
+    return bool(settings.pallas_kernels)
 
 
 def _pytree_dataclass(cls):
