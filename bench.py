@@ -24,7 +24,7 @@ early), dispatches chunked to stay inside the per-dispatch envelope.
 
 Robustness (round-2 postmortem: the driver's `timeout` killed bench.py
 with NOTHING printed, BENCH_r02.json rc=124):
-  - a global wall-clock budget (BENCH_BUDGET_S, default 1080 s) enforced
+  - a global wall-clock budget (BENCH_BUDGET_S, default 1380 s) enforced
     with SIGALRM; per-attempt subprocess timeouts are carved out of the
     remaining budget so the total can never exceed it;
   - SIGTERM/SIGALRM handlers print the best result gathered so far (or an
@@ -91,6 +91,9 @@ def _emit_and_exit(signum=None, frame=None):
     global _printed
     if not _printed:
         _printed = True
+        extra = _payload.get("extra")
+        if extra is not None and not extra.get("attempt_errors"):
+            extra["attempt_errors"] = None
         print(json.dumps(_payload), flush=True)
     if _child is not None and _child.poll() is None:
         try:
@@ -157,7 +160,8 @@ def main():
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGALRM, _emit_and_exit)
     # hard backstop 20 s before the budget so the final line always lands
-    signal.alarm(max(30, int(BUDGET_S - 20)))
+    # (clamped so a tiny BENCH_BUDGET_S can never push the alarm past it)
+    signal.alarm(int(min(max(10, BUDGET_S - 20), BUDGET_S)))
 
     with open(REF_BASELINE) as f:
         ref = json.load(f)
@@ -236,7 +240,9 @@ def _record(res, ref, errors):
                 "cold_qps_per_s": refc["cold_qps_per_s"],
                 "provenance": "benchmarks/ref_baseline.json",
             },
-            "attempt_errors": errors or None,
+            # keep the LIVE list so errors appended after this record (e.g.
+            # "budget exhausted") still land in the emitted payload
+            "attempt_errors": errors,
         },
     })
 

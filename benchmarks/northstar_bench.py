@@ -164,9 +164,15 @@ def main():
     if plain_dt2 < plain_dt:
         plain_dt, plain_solved, plain_iters = plain_dt2, ps2, pi2
     compacted = warm_dt <= plain_dt
+    # keep the two iteration-count semantics apart: compact_warm_iters is
+    # the compaction-blended per-problem estimate, plain_warm_iters is the
+    # plain sweep's lockstep max.  warm_max_iters reports the winner's
+    # count; phase1/stragglers only describe the compacted run.
+    compact_warm_iters = float(warm_iters)
     if not compacted:
-        warm_dt, warm_solved, warm_iters, n_strag = (
-            plain_dt, plain_solved, plain_iters, 0)
+        warm_dt, warm_solved, warm_iters = plain_dt, plain_solved, plain_iters
+        n_strag = None
+        phase1 = None
 
     # Analytic per-problem-per-IPM-iteration flop estimate for the condensed
     # dense path (factor n^3/3 + ~2 refined triangular-solve pairs at 2n^2
@@ -189,6 +195,8 @@ def main():
         warm_qps_per_s=round(B / warm_dt, 1),
         solved=cold_solved, warm_solved=warm_solved,
         max_iters=iters, warm_max_iters=round(float(warm_iters), 2),
+        compact_warm_iters=round(compact_warm_iters, 2),
+        plain_warm_iters=plain_iters,
         compaction=bool(compacted), stragglers=n_strag, phase1=phase1,
         plain_warm_qps_per_s=round(B / plain_dt, 1),
         eff_gflops=round(eff_gflops, 2),

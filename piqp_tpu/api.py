@@ -55,7 +55,7 @@ def _route_backend(
         # factors the same full 3-block KKT (signed Cholesky, ops/ldlt.py)
         # and does compile in f64 — route there with a warning.
         backend = backend or jax.default_backend()
-        if backend != "cpu" and jnp.dtype(data.P.dtype) == jnp.float64:
+        if backend == "tpu" and jnp.dtype(data.P.dtype) == jnp.float64:
             import warnings
 
             warnings.warn(

@@ -1459,6 +1459,10 @@ def _assemble(P, c, A, b, G, h_l, h_u, x_l, x_u, cache, dtype):
         waste=float(sdata.T * sdata.D) / max(1, n - Da),
     )
     layout._cache = cache
+    # dead-row pattern (both bounds infinite) over the unpadded stage rows;
+    # update_vectors compares against it to decide whether the resident G
+    # tensors need re-zeroing (full update path) or can stay on device
+    layout._dead = ~(hl_f > -PIQP_INF) & ~(hu_f < PIQP_INF)
     return sdata, layout
 
 
@@ -1480,6 +1484,99 @@ def update_values(
     P = sp.csc_matrix(P)
     P = (sp.triu(P) + sp.triu(P, 1).T).tocsc()
     return _assemble(P, c, A, b, G, h_l, h_u, x_l, x_u, cache, dtype)
+
+
+def update_vectors(
+    layout: StageLayout, sdata: StageQPData,
+    c, b=None, h_l=None, h_u=None, x_l=None, x_u=None,
+):
+    """Vector-only multistage update: rebuild just the flat vector leaves
+    (c, b, bounds, masks) of an existing StageQPData through the cached
+    maps, leaving every (T, D, D)/(T, r, *) stage tensor as the SAME device
+    buffer — the multistage analog of the dense selective-transfer update
+    (solver.hpp:218-359's vector path; the reference's nnz-map update only
+    touches values that changed).
+
+    Returns the new StageQPData, or ``None`` when the inequality dead-row
+    pattern changed (a bound flipped to/from both-infinite): that requires
+    re-zeroing rows of the resident G tensors, i.e. the full
+    ``update_values`` path.
+    """
+    cache = getattr(layout, "_cache", None)
+    old_dead = getattr(layout, "_dead", None)
+    if cache is None or old_dead is None:
+        raise ValueError("layout has no scatter cache (not from from_sparse)")
+
+    T, D, Da = cache.T, cache.D, cache.Da
+    ra, rg = cache.ra, cache.rg
+    Tp = cache.T_pad
+    np_dtype = np.dtype(sdata.c.dtype.name)
+    inf = np.inf
+
+    n_pad, p_pad, m_pad = T * D + Da, T * ra, T * rg
+    c_f = np.zeros(n_pad, np_dtype)
+    c_f[cache.var_map] = np.asarray(c, np.float64).ravel()
+    b_f = np.zeros(p_pad, np_dtype)
+    if cache.p:
+        b_f[cache.a_row_map] = np.asarray(b, np.float64).ravel()
+    hl_f = np.full(m_pad, -1.0)
+    hu_f = np.full(m_pad, 1.0)
+    if cache.m:
+        hl_f[cache.g_row_map] = (
+            np.asarray(h_l, np.float64).ravel() if h_l is not None else -inf
+        )
+        hu_f[cache.g_row_map] = (
+            np.asarray(h_u, np.float64).ravel() if h_u is not None else inf
+        )
+    new_dead = ~(hl_f > -PIQP_INF) & ~(hu_f < PIQP_INF)
+    if (new_dead != old_dead).any():
+        return None  # caller must take the full update_values path
+    # dead rows keep the benign [-1, 1] bounds (their G rows are already 0)
+    hl_f = np.where(new_dead, -1.0, hl_f)
+    hu_f = np.where(new_dead, 1.0, hu_f)
+
+    xl_f = np.full(n_pad, -inf)
+    xu_f = np.full(n_pad, inf)
+    if x_l is not None:
+        xl_f[cache.var_map] = np.asarray(x_l, np.float64).ravel()
+    if x_u is not None:
+        xu_f[cache.var_map] = np.asarray(x_u, np.float64).ravel()
+
+    if Tp != T:  # horizon padding (mirrors parallel.horizon.pad_stages)
+        def pad_x(v, fill):
+            stage = np.concatenate(
+                [v[: T * D].reshape(T, D), np.full((Tp - T, D), fill)], axis=0
+            )
+            return np.concatenate([stage.reshape(-1), v[T * D:]])
+
+        def pad_rows(v, r, fill):
+            if r == 0:
+                return v
+            return np.concatenate(
+                [v.reshape(T, r), np.full((Tp - T, r), fill)], axis=0
+            ).reshape(-1)
+
+        c_f, xl_f, xu_f = pad_x(c_f, 0.0), pad_x(xl_f, -inf), pad_x(xu_f, inf)
+        b_f = pad_rows(b_f, ra, 0.0)
+        hl_f = pad_rows(hl_f, rg, -1.0)
+        hu_f = pad_rows(hu_f, rg, 1.0)
+
+    hl_mask = hl_f > -PIQP_INF
+    hu_mask = hu_f < PIQP_INF
+    xl_mask = xl_f > -PIQP_INF
+    xu_mask = xu_f < PIQP_INF
+    return sdata.replace(
+        c=jnp.asarray(c_f, np_dtype),
+        b=jnp.asarray(b_f, np_dtype),
+        h_l=jnp.asarray(np.where(hl_mask, hl_f, 0.0), np_dtype),
+        h_u=jnp.asarray(np.where(hu_mask, hu_f, 0.0), np_dtype),
+        x_l=jnp.asarray(np.where(xl_mask, xl_f, 0.0), np_dtype),
+        x_u=jnp.asarray(np.where(xu_mask, xu_f, 0.0), np_dtype),
+        hl_mask=jnp.asarray(hl_mask),
+        hu_mask=jnp.asarray(hu_mask),
+        xl_mask=jnp.asarray(xl_mask),
+        xu_mask=jnp.asarray(xu_mask),
+    )
 
 
 def _next_chunkable(T: int) -> int:

@@ -201,9 +201,11 @@ def _chol_inv_rank1(K: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _chol_inv_fallback(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Route non-Pallas factorizations by measured hardware behavior:
-    f32 XLA cholesky is fine everywhere; f64 (and other dtypes) on an
-    accelerator take the rank-1/GEMM build."""
-    if K.dtype != jnp.float32 and jax.default_backend() != "cpu":
+    f32 XLA cholesky is fine everywhere; f64 (and other dtypes) on TPU
+    takes the rank-1/GEMM build that avoids XLA's pathological f64
+    cholesky/triangular_solve TPU lowerings.  GPU keeps the XLA route
+    (cusolver's f64 cholesky is fast)."""
+    if K.dtype != jnp.float32 and jax.default_backend() == "tpu":
         return _chol_inv_rank1(K)
     return _chol_inv_xla(K)
 
@@ -232,7 +234,10 @@ def _cholesky_with_inverse_vmap(axis_size, in_batched, K):
         K.ndim == 3
         and K.shape[-2] == n
         and n <= _MAX_PALLAS_N
-        and (K.dtype == jnp.float32 or jax.default_backend() == "cpu")
+        and (
+            (K.dtype == jnp.float32 and jax.default_backend() == "tpu")
+            or jax.default_backend() == "cpu"  # interpret mode, any dtype
+        )
     )
     if kernel_ok:
         out = _pallas_chol_inv_batched(K)
@@ -399,7 +404,10 @@ def _signed_chol_inv_vmap(axis_size, in_batched, K, signs):
         K.ndim == 3
         and K.shape[-2] == n
         and n <= _MAX_PALLAS_N
-        and (K.dtype == jnp.float32 or jax.default_backend() == "cpu")
+        and (
+            (K.dtype == jnp.float32 and jax.default_backend() == "tpu")
+            or jax.default_backend() == "cpu"  # interpret mode, any dtype
+        )
     )
     if kernel_ok:
         out = _pallas_signed_chol_inv_batched(K, signs)

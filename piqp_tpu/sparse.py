@@ -128,7 +128,23 @@ class SparseSolver(DenseSolver):
             for k, v in updates.items():
                 if v is not None:
                     self._stage_raw[k] = v
-            # value-only re-scatter through the cached maps: structure
+            if P is None and A is None and G is None:
+                # vector-only update: rebuild just the flat vectors; the
+                # (T, D, D)/(T, r, *) stage tensors stay the same device
+                # buffers (the multistage selective-transfer path).  Falls
+                # through when the dead-row pattern changed.
+                sr = self._stage_raw
+                new = ms.update_vectors(
+                    self._layout, self._stage_data,
+                    c=sr["c"], b=sr.get("b"),
+                    h_l=sr.get("h_l"), h_u=sr.get("h_u"),
+                    x_l=sr.get("x_l"), x_u=sr.get("x_u"),
+                )
+                if new is not None:
+                    self._stage_data = new
+                    self._cone = has_cone(new)
+                    return
+            # value re-scatter through the cached maps: structure
             # detection and reblocking are skipped entirely (the analog of
             # the reference's nnz-map update, multistage_kkt.hpp:140-178)
             self._stage_data, self._layout = ms.update_values(

@@ -277,14 +277,18 @@ class Settings:
 
 def use_pallas(settings: "Settings | None") -> bool:
     """Resolve ``Settings.pallas_kernels`` at trace time: ``None`` means
-    auto — ON for accelerator backends, OFF for CPU (where the un-fused
-    XLA routes are the fast path and the kernels only run interpreted)."""
+    auto — ON only for the TPU backend (the kernel is TPU-Mosaic; GPU
+    falls through to cusolver, which is already fast, and CPU's un-fused
+    XLA routes beat the interpreted kernel).  Auto follows the *process
+    default platform* (``jax.default_backend()``), not the device a
+    particular computation is placed on — under ``jax.default_device``
+    overrides, set ``pallas_kernels`` explicitly."""
     import jax
 
     if settings is None:
         return False
     if settings.pallas_kernels is None:
-        return jax.default_backend() != "cpu"
+        return jax.default_backend() == "tpu"
     return bool(settings.pallas_kernels)
 
 

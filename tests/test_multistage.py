@@ -201,6 +201,70 @@ def test_sparse_solver_multistage_routing():
     )
 
 
+def test_multistage_update_selective_transfer():
+    """Multistage SQP-loop data-movement contract (the analog of
+    test_update_selective_transfer): a vector-only update must NOT rebuild
+    the (T, D, D)/(T, r, *) stage tensors — the device leaves stay the
+    *same buffers* — while a dead-row-pattern change or matrix update
+    takes the full re-scatter path."""
+    import scipy.sparse as sp
+    from piqp_tpu import SparseSolver
+    from piqp_tpu.types import KKTBackend
+
+    sdata0 = ms.random_multistage_qp(T=16, D=3, Da=2, ra=2, rg=2, seed=22)
+    ddata = ms.to_dense(sdata0)
+    hl_mask = np.asarray(ddata.hl_mask)
+    hu_mask = np.asarray(ddata.hu_mask)
+    h_l = np.where(hl_mask, np.asarray(ddata.h_l), -np.inf)
+    h_u = np.where(hu_mask, np.asarray(ddata.h_u), np.inf)
+    c = np.asarray(ddata.c)
+    b = np.asarray(ddata.b)
+
+    s = SparseSolver(Settings(kkt_solver=KKTBackend.multistage))
+    s.setup(sp.csc_matrix(np.asarray(ddata.P)), c,
+            sp.csc_matrix(np.asarray(ddata.A)), b,
+            sp.csc_matrix(np.asarray(ddata.G)), h_l, h_u)
+    assert s._stage_data is not None
+    assert s.solve() == Status.SOLVED
+    d0 = s._stage_data
+
+    # vector-only update: every stage tensor must be the identical object
+    s.update(c=c * 1.1, b=b * 0.9)
+    d1 = s._stage_data
+    for leaf in ("Pd", "Psub", "Pa", "Pc", "A1", "A2", "Ag", "G1", "G2", "Gg"):
+        assert getattr(d1, leaf) is getattr(d0, leaf), leaf
+    assert d1.c is not d0.c and d1.b is not d0.b
+    assert s.solve() == Status.SOLVED
+
+    # bound update with unchanged dead-row pattern: tensors stay resident
+    h_u2 = np.where(hu_mask, h_u + 0.5, np.inf)
+    s.update(h_u=h_u2)
+    d2 = s._stage_data
+    assert d2.G1 is d1.G1 and d2.Pd is d1.Pd
+    assert s.solve() == Status.SOLVED
+
+    # cross-check the accumulated updates against the dense route
+    s2 = SparseSolver(Settings())
+    s2.setup(sp.csc_matrix(np.asarray(ddata.P)), c * 1.1,
+             sp.csc_matrix(np.asarray(ddata.A)), b * 0.9,
+             sp.csc_matrix(np.asarray(ddata.G)), h_l, h_u2)
+    assert s2.solve() == Status.SOLVED
+    np.testing.assert_allclose(
+        np.asarray(s.result.x), np.asarray(s2.result.x), atol=1e-7, rtol=1e-6
+    )
+
+    # dead-pattern change (a row loses both bounds) must fall back to the
+    # full re-scatter path: the resident G row needs re-zeroing
+    live = np.nonzero(hl_mask | hu_mask)[0]
+    kill = int(live[0])
+    h_l3 = h_l.copy(); h_l3[kill] = -np.inf
+    h_u3 = h_u2.copy(); h_u3[kill] = np.inf
+    s.update(h_l=h_l3, h_u=h_u3)
+    d3 = s._stage_data
+    assert d3.G1 is not d2.G1  # full rebuild happened
+    assert s.solve() == Status.SOLVED
+
+
 def test_detect_rejects_unstructured():
     import scipy.sparse as sp
 
