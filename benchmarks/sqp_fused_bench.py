@@ -1,0 +1,99 @@
+"""Fused SQP sweep benchmark: K warm update+re-solve rounds in ONE
+executable (batch.solve_batch_sqp's lax.scan), versus the same work as K
+separate dispatches.
+
+This is the honest MFU demonstration for the architecture: the per-dispatch
+fixed costs (dispatch floor, executable load, init/equilibrate headers) are
+amortized over K x B solves, so the executable's own effective GFLOP/s
+becomes observable.  Mirrors the reference's SQP warm loop
+(/root/reference/benchmarks/src/sqp_benchmarks.cpp:16-120,
+benchmarks/ref_driver.cpp warm pass: c_r = c * (1 + 0.01 (r+1))) — the
+reference numbers to beat are benchmarks/ref_baseline.json's warm pass.
+
+Usage: python benchmarks/sqp_fused_bench.py [dim] [B] [rounds] [mixed]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/tests/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from piqp_tpu import Settings
+from piqp_tpu.batch import (
+    _solve_batch_jit, _solve_batch_sqp_jit, prepare_batch, warm_from_result,
+)
+from benchmarks.make_batch import batch_problems
+
+
+def main():
+    dim = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    mixed = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+
+    settings = Settings(mixed_precision=mixed, pallas_kernels=True)
+    bdata = prepare_batch(batch_problems(dim, B))
+    jax.block_until_ready(bdata)
+
+    # cold pass (provides the warm iterates; timed for context)
+    cold = _solve_batch_jit(bdata, settings, True)
+    np.asarray(cold.x)
+    t0 = time.perf_counter()
+    cold = _solve_batch_jit(bdata, settings, True)
+    np.asarray(cold.x)
+    cold_s = time.perf_counter() - t0
+    warm = warm_from_result(cold)
+    jax.block_until_ready(warm)
+
+    # fused sweep: one executable, K rounds
+    wf, statuses, iters = _solve_batch_sqp_jit(
+        bdata, settings, True, rounds, warm
+    )
+    np.asarray(wf.x)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wf, statuses, iters = _solve_batch_sqp_jit(
+            bdata, settings, True, rounds, warm
+        )
+        np.asarray(wf.x)
+        best = min(best, time.perf_counter() - t0)
+
+    statuses = np.asarray(statuses)
+    iters = np.asarray(iters)
+    solved = int(np.sum(statuses == 1))
+    total = B * rounds
+    # lockstep: each round costs its batch-max iteration count
+    eff_iters = float(np.sum(np.max(iters, axis=0)))
+
+    n = dim
+    flops_per_iter = n ** 3 / 3 + 14.0 * n ** 2
+    eff_gflops = B * eff_iters * flops_per_iter / best / 1e9
+
+    print(json.dumps(dict(
+        dim=dim, B=B, rounds=rounds, mixed=mixed,
+        device=str(jax.devices()[0]),
+        cold_s=round(cold_s, 4),
+        fused_s=round(best, 4),
+        fused_qps_per_s=round(total / best, 1),
+        solved=solved, total=total,
+        mean_round_iters=round(eff_iters / rounds, 2),
+        us_per_problem_iter=round(best / (B * eff_iters) * 1e6, 2),
+        eff_gflops=round(eff_gflops, 2),
+    )), flush=True)
+
+
+if __name__ == "__main__":
+    main()

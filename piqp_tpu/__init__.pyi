@@ -67,6 +67,8 @@ class Settings:
     mixed_precision: bool
     mixed_precision_mu_switch: float
     pallas_kernels: bool | None
+    dense_routing_max_n: Optional[int]
+    refine_mu_factor: float
     verify_certificates: bool
     warm_start_mu: float
     centrality_correctors: int

@@ -123,6 +123,98 @@ def solve_batch(
     return _solve_batch_jit(data, settings, cone, warm)
 
 
+@partial(jax.jit, static_argnames=("settings", "cone", "rounds"))
+def _solve_batch_sqp_jit(
+    data: QPData, settings: Settings, cone: bool, rounds: int, warm,
+    c_rounds=None,
+):
+    """``rounds`` warm update->re-solve passes fused into ONE executable
+    (``lax.scan`` over rounds, each re-solving from the previous round's
+    iterates).
+
+    This is the SQP/MPC usage pattern (the reference's warm loop:
+    benchmarks/src/sqp_benchmarks.cpp:16-120 and solver.hpp:218-308's
+    allocation-free update+solve) expressed TPU-natively: the scan body is
+    traced once, so the executable is the size of ONE warm solve while K
+    rounds of work ride a single dispatch — on a dispatch-latency-bound
+    runtime this amortizes both the dispatch floor and the executable load
+    across all K x B solves.
+
+    ``c_rounds``: optional (rounds, n) [or batched (B, rounds, n)] array of
+    per-round linear costs.  Default mirrors benchmarks/ref_driver.cpp's
+    warm pass: ``c_r = c * (1 + 0.01 (r+1))``.
+
+    Returns (final_warm, statuses, iters) where statuses/iters are
+    (B, rounds) int32 arrays.
+    """
+
+    def one(d, w, cr):
+        # preconditioner_reuse_on_update (settings.hpp:66): equilibrate the
+        # base problem once and re-apply the same scaling to each round's
+        # perturbed data — the reference's update() fast path, and a large
+        # win here because the 10-iteration Ruiz loop otherwise re-runs
+        # inside every scan round.
+        sc0 = None
+        if settings.preconditioner_reuse_on_update:
+            _, sc0 = ruiz.equilibrate(
+                d,
+                max_iter=settings.preconditioner_iter,
+                scale_cost=settings.preconditioner_scale_cost,
+            )
+
+        def body(carry, xs):
+            w = carry
+            r, c_r = xs
+            dr = d.replace(
+                c=d.c * (1.0 + 0.01 * (r + 1.0)) if c_r is None else c_r
+            )
+            if sc0 is not None:
+                sdata, sc = ruiz.apply_scaling(dr, sc0), sc0
+            else:
+                sdata, sc = ruiz.equilibrate(
+                    dr,
+                    max_iter=settings.preconditioner_iter,
+                    scale_cost=settings.preconditioner_scale_cost,
+                )
+            res = solver.solve_scaled(sdata, sc, settings, cone, w)
+            return warm_from_result(res), (res.info.status, res.info.iter)
+
+        rs = jnp.arange(rounds, dtype=d.c.dtype)
+        wf, (status, iters) = lax.scan(body, w, (rs, cr))
+        return wf, status, iters
+
+    with jax.default_matmul_precision("highest"):
+        if c_rounds is None:
+            return jax.vmap(lambda d, w: one(d, w, None))(data, warm)
+        in_axes = (0, 0, 0 if c_rounds.ndim == 3 else None)
+        return jax.vmap(one, in_axes=in_axes)(data, warm, c_rounds)
+
+
+def solve_batch_sqp(
+    data: QPData,
+    settings: Settings = Settings(),
+    cone: bool = True,
+    rounds: int = 8,
+    warm: Optional[object] = None,
+    c_rounds=None,
+) -> tuple:
+    """Fused multi-round warm solving: see ``_solve_batch_sqp_jit``.
+
+    ``warm`` may be a previous batched ``Result`` (e.g. from a cold
+    ``solve_batch`` pass) or ``BasicVars``.  Returns
+    (final_warm: BasicVars, statuses: (B, rounds), iters: (B, rounds)).
+    """
+    data = _route_backend(data, settings)
+    if isinstance(warm, Result):
+        warm = warm_from_result(warm)
+    if warm is None:
+        raise ValueError(
+            "solve_batch_sqp needs warm iterates; run a cold solve_batch "
+            "pass first"
+        )
+    return _solve_batch_sqp_jit(data, settings, cone, rounds, warm, c_rounds)
+
+
 def _next_pow2(k: int) -> int:
     return 1 << max(0, (k - 1)).bit_length()
 

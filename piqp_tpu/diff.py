@@ -280,7 +280,17 @@ def solve_qp_diff(
 
 
 def _diff_fwd(data, settings: Settings, cone: bool):
+    import dataclasses
+
     from . import ruiz, solver
+
+    # exact in-loop KKT solves for the differentiable path: the implicit
+    # function theorem differentiates THE KKT point, and the inexact-IPM
+    # refinement rule (Settings.refine_mu_factor) adds iterate-path noise
+    # of the order of the relaxed tolerance — harmless for optimization,
+    # but it lands exactly where finite-difference/gradient users look.
+    if settings.refine_mu_factor:
+        settings = dataclasses.replace(settings, refine_mu_factor=0.0)
 
     _register_stage_adjoint()
     with jax.default_matmul_precision("highest"):

@@ -296,19 +296,14 @@ def _(data: QPData, ks: KKTState, v):
 @singledispatch
 def _backend_solve(data, ks: KKTState, rx, ry, rz):
     """Condensed backend solve (dense/kkt.hpp:86-105); structure-agnostic
-    given the dispatched matvecs and K-solve."""
-    v = rx
-    if data.m > 0:
-        v = v + ops.GT_z(data, rz / ks.z_reg_fact)
-    if data.p > 0:
-        v = v + ops.AT_y(data, ry / ks.delta_reg)
+    given the dispatched (fused) matvecs and K-solve."""
+    v = ops.add_AtGt(data, rx, ry / ks.delta_reg, rz / ks.z_reg_fact)
 
     lx = condensed_solve_x(data, ks, v)
 
-    ly = (ops.A_x(data, lx) - ry) / ks.delta_reg if data.p > 0 else jnp.zeros_like(ry)
-    lz = (
-        (ops.G_x(data, lx) - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
-    )
+    Ax, Gx = ops.AG_x(data, lx)
+    ly = (Ax - ry) / ks.delta_reg if data.p > 0 else jnp.zeros_like(ry)
+    lz = (Gx - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
     return lx, ly, lz
 
 
@@ -458,15 +453,10 @@ def mul_condensed(data, ks: KKTState, lx, ly, lz):
     Note: uses the (possibly statically regularized) x_reg but the
     *unregularized* delta and z_reg, exactly as the reference does.
     """
-    rx = ops.P_x(data, lx) + ks.x_reg * lx
-    ry = jnp.zeros_like(ly)
-    rz = jnp.zeros_like(lz)
-    if data.p > 0:
-        rx = rx + ops.AT_y(data, ly)
-        ry = ops.A_x(data, lx) - ks.delta * ly
-    if data.m > 0:
-        rx = rx + ops.GT_z(data, lz)
-        rz = ops.G_x(data, lx) - ks.z_reg * lz
+    Px, Ax, Gx = ops.PAG_x(data, lx)
+    rx = ops.add_AtGt(data, Px + ks.x_reg * lx, ly, lz)
+    ry = Ax - ks.delta * ly if data.p > 0 else jnp.zeros_like(ly)
+    rz = Gx - ks.z_reg * lz if data.m > 0 else jnp.zeros_like(lz)
     return rx, ry, rz
 
 
@@ -510,6 +500,8 @@ def mul_full(data: QPData, ks: KKTState, lhs: Vars) -> Vars:
 
 
 def _inf3(x, y, z):
+    # per-block reductions: x/y/z can carry different shardings in the
+    # horizon-sharded path, where a concatenation would force a reshard
     return jnp.maximum(
         jnp.max(jnp.abs(x), initial=0.0),
         jnp.maximum(jnp.max(jnp.abs(y), initial=0.0), jnp.max(jnp.abs(z), initial=0.0)),
@@ -522,7 +514,9 @@ def _refine_error(data, ks, lx, ly, lz, rx, ry, rz):
     return ex, ey, ez, _inf3(ex, ey, ez)
 
 
-def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx, ry, rz):
+def _solve_condensed_refined(
+    data: QPData, settings: Settings, ks: KKTState, rx, ry, rz, mu=None
+):
     """Backend solve + iterative refinement (kkt_system.hpp:254-308).
 
     Refinement is ALWAYS on (unlike the reference, which gates it together
@@ -534,6 +528,16 @@ def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx,
     accurate is one extra condensed matvec per solve.  ``ks.use_ir``
     continues to gate only the static regularization of the factored system
     (the recovery-ladder escalation).
+
+    ``mu``: current complementarity measure; when set and
+    ``settings.refine_mu_factor > 0``, the refinement exit tolerance is
+    relaxed to ``max(tol, refine_mu_factor * mu)`` — the inexact-IPM rule
+    (solve the Newton system to an accuracy proportional to the barrier
+    parameter).  Early IPM iterations then accept the direct f32-factor
+    solve (0-2 refinement passes instead of the ~7 a fixed 1e-12 tolerance
+    forces, measured in benchmarks/iter_profile.py), while late iterations
+    tighten automatically as mu -> 0; final accuracy is still governed by
+    the unregularized residual checks in the solver's termination test.
     """
     lx, ly, lz = _backend_solve(data, ks, rx, ry, rz)
 
@@ -547,6 +551,8 @@ def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx,
             settings.iterative_refinement_eps_abs
             + settings.iterative_refinement_eps_rel * rhs_norm
         )
+        if settings.refine_mu_factor > 0 and mu is not None:
+            tol = jnp.maximum(tol, settings.refine_mu_factor * mu)
 
         def cond(c):
             i, _lx, _ly, _lz, _ex, _ey, _ez, err, done, ok = c
@@ -589,12 +595,13 @@ def _solve_condensed_refined(data: QPData, settings: Settings, ks: KKTState, rx,
 
 
 def solve(
-    data: QPData, settings: Settings, ks: KKTState, rhs: Vars
+    data: QPData, settings: Settings, ks: KKTState, rhs: Vars, mu=None
 ) -> tuple[Vars, jax.Array]:
     """Full KKT solve: condense RHS, solve the (x,y,z) system, recover the
     slack/dual directions (kkt_system.hpp:213-369).
 
-    Returns (lhs, ok).
+    ``mu`` feeds the inexact-IPM refinement tolerance (see
+    ``_solve_condensed_refined``).  Returns (lhs, ok).
     """
     # condensed inequality RHS (kkt_system.hpp:219-234)
     rz_l_bar = jnp.where(data.hl_mask, rhs.z_l - ks.z_l_inv * rhs.s_l, 0.0)
@@ -611,7 +618,7 @@ def solve(
     )
 
     lx, ly, lz, ok = _solve_condensed_refined(
-        data, settings, ks, rhs_x_bar, rhs.y, rhs_z_bar
+        data, settings, ks, rhs_x_bar, rhs.y, rhs_z_bar, mu
     )
 
     # inequality dual/slack recovery (kkt_system.hpp:310-345).  The uniform

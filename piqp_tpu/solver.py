@@ -69,15 +69,21 @@ def residuals_nr(
     data: QPData, sc: Scaling, vars: Vars, info: Info
 ) -> tuple[BasicVars, Info]:
     """Non-regularized residuals, objectives and relative norms
-    (solver.hpp:960-1105)."""
+    (solver.hpp:960-1105).
+
+    All P/A/G matvecs ride the fused ``ops.PAG_x``/``ops.add_AtGt`` passes
+    and the per-bound masked maxima are stacked into one reduction per
+    vector length — max is order-free, so the values are bitwise identical
+    to the per-term formulation; only the op count changes (hot on
+    dispatch-overhead-bound runtimes, benchmarks/iter_profile.py)."""
     x, y = vars.x, vars.y
 
-    Px = ops.P_x(data, x)
-    Ax = ops.A_x(data, x) if data.p > 0 else jnp.zeros_like(vars.y)
-    ATy = ops.AT_y(data, y) if data.p > 0 else jnp.zeros_like(x)
-    Gx = ops.G_x(data, x) if data.m > 0 else jnp.zeros_like(vars.z_l)
+    Px, Ax, Gx = ops.PAG_x(data, x)
+    if data.p == 0:
+        Ax = jnp.zeros_like(vars.y)
+    if data.m == 0:
+        Gx = jnp.zeros_like(vars.z_l)
     dz = vars.z_u - vars.z_l
-    GTdz = ops.GT_z(data, dz) if data.m > 0 else jnp.zeros_like(x)
 
     c_inv = 1.0 / sc.c
     ud_x = sc.d_x * c_inv  # unscale_dual_res factor (preconditioner.hpp:414-417)
@@ -107,18 +113,17 @@ def residuals_nr(
     duality_gap_rel = duality_gap / jnp.maximum(1.0, gap_rel_norm)
 
     # dual residual (solver.hpp:1018-1032)
-    work_x = ATy + GTdz
-    work_x = work_x - jnp.where(
-        data.xl_mask, data.x_b_scaling * vars.z_bl, 0.0
+    work_x = (
+        jnp.where(data.xu_mask, data.x_b_scaling * vars.z_bu, 0.0)
+        - jnp.where(data.xl_mask, data.x_b_scaling * vars.z_bl, 0.0)
     )
-    work_x = work_x + jnp.where(
-        data.xu_mask, data.x_b_scaling * vars.z_bu, 0.0
-    )
+    work_x = ops.add_AtGt(data, work_x, y, dz)
     dual_rel = jnp.maximum(dual_rel, _inf_norm(data.c * ud_x))
     dual_rel = jnp.maximum(dual_rel, _inf_norm(work_x * ud_x))
     res_x = -Px - data.c - work_x
 
-    # primal residuals (solver.hpp:1034-1095)
+    # primal residuals (solver.hpp:1034-1095): the 12 masked signed maxima
+    # collapse to one stacked reduction per vector length
     d_y_inv = 1.0 / sc.d_y
     d_z_inv = 1.0 / sc.d_z
     d_b_inv = 1.0 / sc.d_b
@@ -127,25 +132,25 @@ def residuals_nr(
     res_y = data.b - Ax
 
     res_z_l = jnp.where(data.hl_mask, Gx - data.h_l - vars.s_l, 0.0)
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(Gx * d_z_inv, data.hl_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.h_l * d_z_inv, data.hl_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_l * d_z_inv, data.hl_mask))
-
     res_z_u = jnp.where(data.hu_mask, -Gx + data.h_u - vars.s_u, 0.0)
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(-Gx * d_z_inv, data.hu_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.h_u * d_z_inv, data.hu_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_u * d_z_inv, data.hu_mask))
+    m_rows = jnp.stack(
+        [Gx, data.h_l, vars.s_l, -Gx, data.h_u, vars.s_u]
+    ) * d_z_inv
+    m_mask = jnp.stack([data.hl_mask] * 3 + [data.hu_mask] * 3)
+    primal_rel = jnp.maximum(
+        primal_rel, jnp.max(jnp.where(m_mask, m_rows, 0.0), initial=0.0)
+    )
 
     bx = data.x_b_scaling * x
     res_z_bl = jnp.where(data.xl_mask, bx - data.x_l - vars.s_bl, 0.0)
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(bx * d_b_inv, data.xl_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.x_l * d_b_inv, data.xl_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_bl * d_b_inv, data.xl_mask))
-
     res_z_bu = jnp.where(data.xu_mask, -bx + data.x_u - vars.s_bu, 0.0)
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(-bx * d_b_inv, data.xu_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(data.x_u * d_b_inv, data.xu_mask))
-    primal_rel = jnp.maximum(primal_rel, _masked_signed_max(vars.s_bu * d_b_inv, data.xu_mask))
+    n_rows = jnp.stack(
+        [bx, data.x_l, vars.s_bl, -bx, data.x_u, vars.s_bu]
+    ) * d_b_inv
+    n_mask = jnp.stack([data.xl_mask] * 3 + [data.xu_mask] * 3)
+    primal_rel = jnp.maximum(
+        primal_rel, jnp.max(jnp.where(n_mask, n_rows, 0.0), initial=0.0)
+    )
 
     res_nr = BasicVars(res_x, res_y, res_z_l, res_z_u, res_z_bl, res_z_bu)
 
@@ -171,12 +176,14 @@ def _primal_res_norm(data: QPData, sc: Scaling, r) -> jax.Array:
     """Infinity norm of the unscaled primal residual (solver.hpp:1130-1146).
 
     Box contributions are signed per-index maxima, mirroring the reference.
+    Stacked reductions: max is order-free, values bitwise identical.
     """
     inf = _inf_norm(r.y / sc.d_y)
-    inf = jnp.maximum(inf, _inf_norm(r.z_l / sc.d_z))
-    inf = jnp.maximum(inf, _inf_norm(r.z_u / sc.d_z))
-    inf = jnp.maximum(inf, _masked_signed_max(r.z_bl / sc.d_b, data.xl_mask))
-    inf = jnp.maximum(inf, _masked_signed_max(r.z_bu / sc.d_b, data.xu_mask))
+    zm = jnp.abs(jnp.stack([r.z_l, r.z_u])) / sc.d_z
+    inf = jnp.maximum(inf, jnp.max(zm, initial=0.0))
+    zb = jnp.stack([r.z_bl, r.z_bu]) / sc.d_b
+    zb_mask = jnp.stack([data.xl_mask, data.xu_mask])
+    inf = jnp.maximum(inf, jnp.max(jnp.where(zb_mask, zb, 0.0), initial=0.0))
     return inf
 
 
@@ -488,8 +495,9 @@ def calculate_mu(data: QPData, v: Vars) -> jax.Array:
 
 def calculate_step(v: Vars, step: Vars, data: QPData):
     """Fraction-to-the-boundary min-ratio test (solver.hpp:893-958), as four
-    masked vector reductions (the reference parallelizes this loop with
-    OpenMP; on TPU it's a single fused VPU pass)."""
+    stacked masked reductions (the reference parallelizes this loop with
+    OpenMP; on TPU each is a single fused VPU pass — min is order-free, so
+    stacking the slack/dual pairs is bitwise identical)."""
 
     def ratio(val, stp, mask):
         neg = jnp.logical_and(mask, stp < 0)
@@ -497,15 +505,20 @@ def calculate_step(v: Vars, step: Vars, data: QPData):
             jnp.where(neg, -val / jnp.where(neg, stp, -1.0), 1.0), initial=1.0
         )
 
-    alpha_s = ratio(v.s_l, step.s_l, data.hl_mask)
-    alpha_s = jnp.minimum(alpha_s, ratio(v.s_u, step.s_u, data.hu_mask))
-    alpha_s = jnp.minimum(alpha_s, ratio(v.s_bl, step.s_bl, data.xl_mask))
-    alpha_s = jnp.minimum(alpha_s, ratio(v.s_bu, step.s_bu, data.xu_mask))
-
-    alpha_z = ratio(v.z_l, step.z_l, data.hl_mask)
-    alpha_z = jnp.minimum(alpha_z, ratio(v.z_u, step.z_u, data.hu_mask))
-    alpha_z = jnp.minimum(alpha_z, ratio(v.z_bl, step.z_bl, data.xl_mask))
-    alpha_z = jnp.minimum(alpha_z, ratio(v.z_bu, step.z_bu, data.xu_mask))
+    m_mask = jnp.stack([data.hl_mask, data.hu_mask])
+    n_mask = jnp.stack([data.xl_mask, data.xu_mask])
+    alpha_s = jnp.minimum(
+        ratio(jnp.stack([v.s_l, v.s_u]), jnp.stack([step.s_l, step.s_u]),
+              m_mask),
+        ratio(jnp.stack([v.s_bl, v.s_bu]), jnp.stack([step.s_bl, step.s_bu]),
+              n_mask),
+    )
+    alpha_z = jnp.minimum(
+        ratio(jnp.stack([v.z_l, v.z_u]), jnp.stack([step.z_l, step.z_u]),
+              m_mask),
+        ratio(jnp.stack([v.z_bl, v.z_bu]), jnp.stack([step.z_bl, step.z_bu]),
+              n_mask),
+    )
     return alpha_s, alpha_z
 
 
@@ -928,7 +941,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
         s_bl=-vars.s_bl * vars.z_bl,
         s_bu=-vars.s_bu * vars.z_bu,
     )
-    step, _ = kkt.solve(data, settings, ks, res)
+    step, _ = kkt.solve(data, settings, ks, res, info.mu)
 
     alpha_s, alpha_z = calculate_step(vars, step, data)
     alpha_s = alpha_s * settings.tau
@@ -950,7 +963,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
         s_bl=res.s_bl + jnp.where(data.xl_mask, -step.s_bl * step.z_bl + sm, 0.0),
         s_bu=res.s_bu + jnp.where(data.xu_mask, -step.s_bu * step.z_bu + sm, 0.0),
     )
-    step, _ = kkt.solve(data, settings, ks, res)
+    step, _ = kkt.solve(data, settings, ks, res, info.mu)
 
     alpha_s, alpha_z = calculate_step(vars, step, data)
 
@@ -986,7 +999,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
                 s_bu=res.s_bu + corr(vars.s_bu, vars.z_bu, step.s_bu,
                                      step.z_bu, data.xu_mask),
             )
-            step_t, _ = kkt.solve(data, settings, ks, res_t)
+            step_t, _ = kkt.solve(data, settings, ks, res_t, info.mu)
             a_s2, a_z2 = calculate_step(vars, step_t, data)
             accept = jnp.logical_and(
                 jnp.logical_and(a_s2 >= alpha_s, a_z2 >= alpha_z),

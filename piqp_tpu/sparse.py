@@ -64,8 +64,15 @@ class SparseSolver(DenseSolver):
     #: problems larger than this are routed to the host sparse backend when
     #: the backend is left at the default (densifying a 10^4-dim sparse
     #: problem onto the MXU wastes both memory and FLOPs; the crossover
-    #: measured on v5e is in the mid-hundreds).
+    #: measured on the tunneled v5e is in the mid-hundreds —
+    #: benchmarks/routing_crossover.py re-measures it per runtime).
+    #: ``Settings.dense_routing_max_n`` overrides per solver instance.
     DENSE_ROUTING_MAX_N = 512
+
+    @property
+    def _dense_routing_max_n(self) -> int:
+        cap = self._settings.dense_routing_max_n
+        return self.DENSE_ROUTING_MAX_N if cap is None else cap
 
     def __init__(self, settings: Settings = Settings(), multistage_fallback: bool = True):
         super().__init__(settings)
@@ -100,7 +107,7 @@ class SparseSolver(DenseSolver):
         n = P.shape[0] if hasattr(P, "shape") else np.asarray(P).shape[0]
         if self._settings.kkt_solver == KKTBackend.sparse_host or (
             self._settings.kkt_solver == KKTBackend.dense_cholesky
-            and n > self.DENSE_ROUTING_MAX_N
+            and n > self._dense_routing_max_n
         ):
             self._host_raw = dict(P=P, c=c, A=A, b=b, G=G, h_l=h_l,
                                   h_u=h_u, x_l=x_l, x_u=x_u)

@@ -208,6 +208,27 @@ class Settings:
     # accelerator backends, OFF on CPU — measured 1.4-2.8x end-to-end
     # across fleet and single-problem workloads (docs/performance.md).
     pallas_kernels: bool | None = None
+    # SparseSolver routing cap: sparse problems with n above this stay on
+    # the host sparse backend instead of densifying onto the device
+    # (SURVEY.md section 7 design delta 3 routing rule).  None = the
+    # runtime default (SparseSolver.DENSE_ROUTING_MAX_N, 512 — the measured
+    # crossover for the tunneled v5e; benchmarks/routing_crossover.py
+    # re-measures it per runtime, and on direct-attached silicon the
+    # crossover moves far right).
+    dense_routing_max_n: Optional[int] = None
+    # Inexact-IPM refinement tolerance (no reference analog; the reference's
+    # f64 factors reach the fixed 1e-12 refinement tolerance in <=1 pass, so
+    # it never needed one).  When > 0, every in-loop KKT solve refines only
+    # until the residual error drops below refine_mu_factor * mu: Newton
+    # systems early in the IPM are solved to an accuracy proportional to the
+    # barrier parameter (the standard inexact-interior-point rule), which is
+    # what makes float32 factors cheap — a fixed 1e-12 tolerance forces ~7
+    # refinement passes per solve against an f32 factor (measured,
+    # benchmarks/iter_profile.py) for accuracy the early iterations cannot
+    # use.  Termination still checks the true unregularized residuals, so
+    # final solution accuracy is unchanged (validated by the corpus suite).
+    # 0 disables (fixed-tolerance refinement, the round-3 behavior).
+    refine_mu_factor: float = 1e-2
     # Validate Farkas certificates before returning PRIMAL/DUAL_INFEASIBLE
     # (no reference analog — the reference certifies from stall counters
     # alone, solver.hpp:616-630, which is trajectory-sensitive).  A failed
@@ -251,6 +272,11 @@ class Settings:
             and self.tau > 0
             and self.tau <= 1
             and self.mixed_precision_mu_switch > 0
+            and self.refine_mu_factor >= 0
+            and (
+                self.dense_routing_max_n is None
+                or self.dense_routing_max_n >= 0
+            )
             and self.warm_start_mu > 0
             and 0 <= self.centrality_correctors <= 10
             and self.iterative_refinement_eps_abs > 0

@@ -158,3 +158,46 @@ def test_compact_preserves_infeasibility_detection():
     st = np.asarray(rc.info.status)
     assert np.all(st[:7] == int(Status.SOLVED))
     assert st[7] == int(Status.PRIMAL_INFEASIBLE)
+
+
+def test_sqp_fused_rounds_match_sequential(problems):
+    """The fused lax.scan SQP sweep (solve_batch_sqp) must produce the same
+    final iterates and statuses as issuing the same warm re-solves as
+    separate dispatches with the same per-round costs."""
+    from piqp_tpu.batch import solve_batch_sqp, warm_from_result
+
+    data = prepare_batch(problems)
+    cold = solve_batch(data)
+    rounds = 3
+
+    wf, statuses, iters = solve_batch_sqp(data, rounds=rounds, warm=cold)
+    assert statuses.shape == (BATCH, rounds)
+    assert np.all(np.asarray(statuses) == int(Status.SOLVED))
+
+    # sequential reference: same schedule c_r = c * (1 + 0.01 (r+1))
+    warm = warm_from_result(cold)
+    for r in range(rounds):
+        dr = jax.tree.map(lambda x: x, data)
+        dr = dr.replace(c=data.c * (1.0 + 0.01 * (r + 1)))
+        res = solve_batch(dr, warm=warm)
+        warm = warm_from_result(res)
+    np.testing.assert_allclose(
+        np.asarray(wf.x), np.asarray(warm.x), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_sqp_fused_explicit_c_rounds(problems):
+    """Explicit per-round cost schedules (the general SQP linearization
+    path) are accepted as a (rounds, n) broadcast or (B, rounds, n)."""
+    from piqp_tpu.batch import solve_batch_sqp
+
+    data = prepare_batch(problems)
+    cold = solve_batch(data)
+    rounds = 2
+    c_rounds = np.stack([
+        np.asarray(data.c) * (1.0 + 0.005 * (r + 1)) for r in range(rounds)
+    ], axis=1)  # (B, rounds, n)
+    wf, statuses, _ = solve_batch_sqp(
+        data, rounds=rounds, warm=cold, c_rounds=jnp.asarray(c_rounds)
+    )
+    assert np.all(np.asarray(statuses) == int(Status.SOLVED))
