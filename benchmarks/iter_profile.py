@@ -165,6 +165,43 @@ def main():
             return r.replace(x=r.x + EPS * lhs.x)
         return jax.vmap(one)(sdata, ks32, rhs)
 
+    # mu-relaxed refinement (types.refine_mu_factor): the real loop passes
+    # the current barrier mu, so early (mu ~ 1e-3) solves accept the direct
+    # factor solve while endgame (mu ~ 1e-9) solves refine to accuracy.
+    # These two bracket the real per-solve refinement cost; the no-mu
+    # kkt_solve_refined subgraph above is the worst case (fixed 1e-12 tol).
+    def mk_solve_mu(ksref, mu):
+        mu_arr = jnp.full((B,), mu)
+
+        def g(rhs):
+            def one(d, ks, r, m):
+                lhs, _ = kkt.solve(d, settings, ks, r, m)
+                return r.replace(x=r.x + EPS * lhs.x)
+            return jax.vmap(one)(sdata, ksref, rhs, mu_arr)
+        return g
+
+    # f32 matrix reads for the residual matvecs: the tunnel executes
+    # in-graph at ~7 GB/s effective, so matvec subgraphs are byte-bound
+    # and f32 matrices halve them (the phase-A candidate optimization)
+    sdata32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float64 else a,
+        sdata,
+    )
+
+    def g_residuals_f32(st):
+        def one(d32, s, stt):
+            v32 = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == jnp.float64 else a,
+                stt.vars,
+            )
+            res_nr, info = solver.residuals_nr(d32, s, v32, stt.info)
+            return res_nr.x.astype(stt.vars.x.dtype)
+        return anchor_st(st0)(jax.vmap(
+            lambda d, s, stt: one(d, s, stt), in_axes=(0, 0, 0)
+        )(sdata32, sc, st))
+
     def g_solve_noref(rhs):
         def one(d, ks, r):
             lhs, _ = kkt.solve(d, s_noref, ks, r)
@@ -197,8 +234,22 @@ def main():
             return out.vars.x
         return anchor_st(st0)(jax.vmap(one)(sdata, sc, pre, st))
 
+    @jax.jit
+    def mk_ks64(sdata, pre, st):
+        def one(d, p, stt):
+            ks, _ = kkt.factor(d, stt.ks, False, p)
+            return ks
+        return jax.vmap(one)(sdata, pre, st)
+
+    ks64 = mk_ks64(sdata, pre, st0)
+    jax.block_until_ready(ks64)
+
     subgraphs = [
         ("residuals_nr", g_residuals, st0),
+        ("residuals_nr_f32mats", g_residuals_f32, st0),
+        ("kkt_solve_ref_mu1e-3", mk_solve_mu(ks32, 1e-3), rhs0),
+        ("kkt_solve_ref_mu1e-9", mk_solve_mu(ks32, 1e-9), rhs0),
+        ("kkt_solve_ref64_mu1e-9", mk_solve_mu(ks64, 1e-9), rhs0),
         ("termination(+res_r)", g_termination, st0),
         ("scalings", g_scalings, st0),
         ("factor_f32_pallas", g_factor32, st0),

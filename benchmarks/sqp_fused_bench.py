@@ -30,7 +30,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/tests/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from piqp_tpu import Settings
+from piqp_tpu import Settings, Status
 from piqp_tpu.batch import (
     _solve_batch_jit, _solve_batch_sqp_jit, prepare_batch, warm_from_result,
 )
@@ -73,7 +73,7 @@ def main():
 
     statuses = np.asarray(statuses)
     iters = np.asarray(iters)
-    solved = int(np.sum(statuses == 1))
+    solved = int(np.sum(statuses == int(Status.SOLVED)))
     total = B * rounds
     # lockstep: each round costs its batch-max iteration count
     eff_iters = float(np.sum(np.max(iters, axis=0)))

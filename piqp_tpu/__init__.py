@@ -36,7 +36,13 @@ from .api import (  # noqa: E402
     solve_prepared,
 )
 from .sparse import SparseSolver  # noqa: E402
-from .batch import solve_batch, solve_batch_compact, prepare_batch  # noqa: E402
+from .batch import (  # noqa: E402
+    prepare_batch,
+    solve_batch,
+    solve_batch_compact,
+    solve_batch_sqp,
+    warm_from_result,
+)
 from . import multistage  # noqa: E402  (registers the block backend dispatch)
 from .multistage import StageQPData  # noqa: E402
 from . import parallel  # noqa: E402  (registers the sharded backend dispatch)
@@ -68,6 +74,8 @@ __all__ = [
     "solve_prepared",
     "solve_batch",
     "solve_batch_compact",
+    "solve_batch_sqp",
+    "warm_from_result",
     "StageQPData",
     "ShardedStageQPData",
     "shard_horizon",

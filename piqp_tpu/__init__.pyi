@@ -300,3 +300,12 @@ def solve_batch_compact(
     warm: Optional[Any] = ...,
     phase1_iters: Optional[int] = ...,
 ) -> Result: ...
+def solve_batch_sqp(
+    data: QPData,
+    settings: Settings = ...,
+    cone: bool = ...,
+    rounds: int = ...,
+    warm: Optional[Any] = ...,
+    c_rounds: Optional[Any] = ...,
+) -> tuple[Any, Any, Any]: ...
+def warm_from_result(res: Result) -> Any: ...

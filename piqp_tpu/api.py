@@ -578,7 +578,13 @@ def _measure_kkt_times(data, settings: Settings, iters: int, retries: int):
     counts of the IPM run: iters+1+retries factorizations, 2*iters+1 KKT
     solves (init + predictor + corrector).  Timing uses a host readback as
     the completion barrier (block_until_ready under-reports on some remote
-    runtimes)."""
+    runtimes).
+
+    These are ESTIMATES, not measurements of the real solve executable:
+    the IPM loop is one fused XLA executable, and the compiler may fuse
+    factor/solve work differently in context than in the standalone probe
+    ops timed here, so the reported split is approximate and the two
+    values need not sum to solve_time (docs/performance.md)."""
     mixed = bool(settings.mixed_precision)
     try:
         ks, rhs = _probe_factored_state(data, settings, mixed)

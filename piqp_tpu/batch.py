@@ -201,17 +201,15 @@ def solve_batch_sqp(
     """Fused multi-round warm solving: see ``_solve_batch_sqp_jit``.
 
     ``warm`` may be a previous batched ``Result`` (e.g. from a cold
-    ``solve_batch`` pass) or ``BasicVars``.  Returns
+    ``solve_batch`` pass) or ``BasicVars``; when ``None``, a cold
+    ``solve_batch`` pass on ``data`` provides the warm iterates.  Returns
     (final_warm: BasicVars, statuses: (B, rounds), iters: (B, rounds)).
     """
     data = _route_backend(data, settings)
     if isinstance(warm, Result):
         warm = warm_from_result(warm)
     if warm is None:
-        raise ValueError(
-            "solve_batch_sqp needs warm iterates; run a cold solve_batch "
-            "pass first"
-        )
+        warm = warm_from_result(_solve_batch_jit(data, settings, cone))
     return _solve_batch_sqp_jit(data, settings, cone, rounds, warm, c_rounds)
 
 

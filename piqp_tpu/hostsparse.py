@@ -287,6 +287,16 @@ class _KKT:
         self.refine = True
         self.refine_stalled = False
         self._Kc = None  # cached (K pattern, diag positions, base values)
+        # condensed ALL_ELIMINATED route (kkt_all_eliminated.hpp:22-100):
+        # factor the n x n K = P + diag(x_reg) + (1/delta) A'A + G'WG
+        # instead of the (n+p+m) full KKT when the condensed pattern stays
+        # sparse.  Chosen once per instance by _choose_route; falls back to
+        # the full KKT permanently on any numerical failure.
+        self._route = None
+        self._condc = None  # cached (AtA csc, G csr)
+        self._force_full = False
+        self._using_cond = False
+        self._w_f = None
         # exact cumulative phase timers (results.hpp:87-88); instance
         # attributes shadow the methods with timed wrappers
         self.factor_time = 0.0
@@ -369,7 +379,95 @@ class _KKT:
             self._Kc = (K, diag_pos, base)
         return self._Kc
 
+    def _cond_cache(self):
+        if self._condc is None:
+            d = self.data
+            AtA = (d.AT @ d.A).tocsc() if d.p else None
+            Gcsr = d.G.tocsr() if d.m else None
+            self._condc = (AtA, Gcsr)
+        return self._condc
+
+    def _choose_route(self):
+        """Pick full-KKT vs condensed ALL_ELIMINATED by structural nnz:
+        the condensed system is n x n instead of (n+p+m) x (n+p+m), which
+        cuts SuperLU fill dramatically on constraint-heavy instances
+        (CVXQP1_L: 1.4 s vs 17.4 s per factorization, measured on this
+        container) — but a single dense-ish row of A or G densifies A'A /
+        G'G, so the product patterns are estimated first and the condensed
+        route is taken only when its pattern stays comparable to the full
+        KKT's (the same tradeoff the reference leaves to the
+        KKT_ALL_ELIMINATED setting, kkt_all_eliminated.hpp:22-100)."""
+        d = self.data
+        if d.p == 0 and d.m == 0:
+            return "full"  # full KKT already is the n x n system
+        if d.n == 0 or d.P.diagonal().min() <= 0.0:
+            # LPs / non-strictly-convex QPs: the condensed diagonal is pure
+            # regularization (rho ~ 1e-6) against delta^-1 A'A ~ 1e6, and
+            # the degraded solve accuracy loses infeasibility certificates
+            # (Netlib qual/vol1 regressed from PRIMAL_INFEASIBLE to
+            # MAX_ITER when condensed); keep the full quasidefinite KKT
+            return "full"
+        nnz_full = d.P.nnz + d.n + 2 * (d.A.nnz + d.G.nnz) + d.p + d.m
+        # cheap upper bound on the product nnz: sum_r nnz_row^2
+        est = 0
+        for M in (d.A, d.G):
+            if M.shape[0]:
+                rc = np.diff(M.tocsr().indptr)
+                est += int(np.sum(rc.astype(np.int64) ** 2))
+        if est > 30 * nnz_full:
+            return "full"
+        try:
+            AtA, Gcsr = self._cond_cache()
+        except MemoryError:
+            return "full"
+        nnz_cond = d.P.nnz + d.n + (AtA.nnz if AtA is not None else 0)
+        if Gcsr is not None:
+            try:
+                GtG = Gcsr.T @ Gcsr
+            except MemoryError:
+                return "full"
+            nnz_cond += GtG.nnz
+        return "cond" if nnz_cond <= 2 * nnz_full else "full"
+
+    def _factor_cond(self):
+        d = self.data
+        AtA, Gcsr = self._cond_cache()
+        K = d.P + sp.diags(self.x_reg_f)
+        if d.p:
+            K = K + (1.0 / self.delta_f) * AtA
+        if d.m:
+            zs_f = np.where(self.z_reg_f > 0, self.z_reg_f, 1.0)
+            w_f = np.where(self.z_reg_f > 0, 1.0 / zs_f, 0.0)
+            # dead rows (z_reg = 0: both bounds infinite, G row zeroed by
+            # disable_inf_constraints) contribute nothing and recover z = 0
+            self._w_f = w_f
+            K = K + Gcsr.T @ sp.diags(w_f) @ Gcsr
+        try:
+            # SPD system under a fixed fill-reducing ordering: symmetric
+            # mode + minimum degree on K'+K beats COLAMD ~2.5x here
+            self.lu = spla.splu(
+                K.tocsc(), permc_spec="MMD_AT_PLUS_A",
+                diag_pivot_thresh=0.001,
+                options=dict(SymmetricMode=True),
+            )
+            ok = (np.isfinite(self.lu.L.data).all()
+                  and np.isfinite(self.lu.U.data).all())
+        except (RuntimeError, MemoryError):
+            self.lu = None
+            ok = False
+        return bool(ok)
+
     def factor(self):
+        if self._route is None:
+            self._route = self._choose_route()
+        if self._route == "cond" and not self._force_full:
+            if self._factor_cond():
+                self._using_cond = True
+                return True
+            # permanent fallback: a condensed factorization that failed
+            # numerically is re-done (and all later ones) as full KKT
+            self._force_full = True
+        self._using_cond = False
         d = self.data
         n, p, m = d.n, d.p, d.m
         K, diag_pos, base = self._kkt_cache()
@@ -403,17 +501,37 @@ class _KKT:
             rz = d.G @ lx - self.z_reg * lz
         return rx, ry, rz
 
+    def _raw_solve(self, rx, ry, rz):
+        """One unrefined solve of the factored (regularized) 3-block
+        system, via whichever factorization ``factor`` produced: the full
+        KKT LU, or the condensed n x n LU + y/z recovery
+        (kkt_all_eliminated.hpp algebra: y = (A x - ry)/delta,
+        z = W (G x - rz))."""
+        d = self.data
+        if self._using_cond:
+            rhs = rx
+            if d.p:
+                rhs = rhs + d.AT @ ry * (1.0 / self.delta_f)
+            if d.m:
+                rhs = rhs + d.GT @ (self._w_f * rz)
+            lx = self.lu.solve(rhs)
+            ly = (d.A @ lx - ry) / self.delta_f if d.p else np.zeros(0)
+            lz = self._w_f * (d.G @ lx - rz) if d.m else np.zeros(0)
+            return lx, ly, lz
+        sol = self.lu.solve(np.concatenate([rx, ry, rz]))
+        return sol[: d.n], sol[d.n: d.n + d.p], sol[d.n + d.p:]
+
     def solve_xyz(self, rx, ry, rz):
         d = self.data
-        rhs = np.concatenate([rx, ry, rz])
-        sol = self.lu.solve(rhs)
-        lx, ly, lz = sol[: d.n], sol[d.n: d.n + d.p], sol[d.n + d.p:]
+        lx, ly, lz = self._raw_solve(rx, ry, rz)
 
         if not self.refine:
-            return lx, ly, lz, np.isfinite(sol).all()
+            return lx, ly, lz, (np.isfinite(lx).all() and np.isfinite(ly).all()
+                                and np.isfinite(lz).all())
 
         st = self.settings
-        rhs_norm = np.abs(rhs).max(initial=0.0)
+        rhs_norm = max(np.abs(rx).max(initial=0.0), np.abs(ry).max(initial=0.0),
+                       np.abs(rz).max(initial=0.0))
         tol = st.iterative_refinement_eps_abs + st.iterative_refinement_eps_rel * rhs_norm
         self.refine_stalled = False
         ex, ey, ez = self.mul_condensed(lx, ly, lz)
@@ -425,10 +543,8 @@ class _KKT:
         for _ in range(st.iterative_refinement_max_iter):
             if err <= tol:
                 break
-            dsol = self.lu.solve(np.concatenate([ex, ey, ez]))
-            cx = lx + dsol[: d.n]
-            cy = ly + dsol[d.n: d.n + d.p]
-            cz = lz + dsol[d.n + d.p:]
+            dx, dy, dz = self._raw_solve(ex, ey, ez)
+            cx, cy, cz = lx + dx, ly + dy, lz + dz
             nex, ney, nez = self.mul_condensed(cx, cy, cz)
             nex, ney, nez = rx - nex, ry - ney, rz - nez
             nerr = max(np.abs(nex).max(initial=0.0), np.abs(ney).max(initial=0.0),
@@ -446,6 +562,10 @@ class _KKT:
         # escalate to statically-regularized factors (the LU analog of the
         # reference's enable-refinement recovery step, solver.hpp:687-708)
         self.refine_stalled = err > 1e3 * tol
+        if self.refine_stalled and self._using_cond:
+            # the condensed system's delta^-1 amplification is the likely
+            # culprit; re-route subsequent factorizations to the full KKT
+            self._force_full = True
         return lx, ly, lz, True
 
     def solve(self, rhs):

@@ -485,8 +485,12 @@ class Info:
     # wall-time metrics (results.hpp:83-88), real pytree leaves so they
     # survive jax.tree.map/vmap; filled host-side by the API wrapper when
     # settings.compute_timings (zeros inside jit).  kkt_factor_time /
-    # kkt_solve_time come from separately timed device dispatches scaled by
-    # the dispatch counts (see api._measure_kkt_times).
+    # kkt_solve_time on device backends are ESTIMATES: separately timed
+    # probe dispatches scaled by the IPM's dispatch counts (see
+    # api._measure_kkt_times) — under XLA fusion the true split inside the
+    # fused solve executable can differ, and the two need not sum to
+    # solve_time.  Only the host sparse backend reports directly measured
+    # factor/solve times.
     setup_time: jax.Array
     update_time: jax.Array
     solve_time: jax.Array

@@ -79,3 +79,53 @@ def test_sparse_solver_force_host_small():
     np.testing.assert_allclose(
         s.result.x, np.asarray(res_dev.x), rtol=1e-6, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_condensed_route_matches_full_kkt(seed):
+    """The condensed ALL_ELIMINATED host route (kkt_all_eliminated.hpp
+    algebra: n x n K = P + diag(x_reg) + delta^-1 A'A + G'WG) must produce
+    the same solution as the full-KKT LU on the same problem."""
+    from piqp_tpu.hostsparse import _KKT, equilibrate_host
+    from piqp_tpu.utils.random import sparse_strongly_convex_qp
+
+    prob = sparse_strongly_convex_qp(60, 20, 20, seed=seed)
+    data = prepare_sparse(**prob)
+
+    res_cond = solve_host(data)
+    assert res_cond.info.status == int(Status.SOLVED)
+
+    # force the full-KKT route by monkeypatching route selection
+    orig = _KKT._choose_route
+    _KKT._choose_route = lambda self: "full"
+    try:
+        res_full = solve_host(data)
+    finally:
+        _KKT._choose_route = orig
+    assert res_full.info.status == int(Status.SOLVED)
+    np.testing.assert_allclose(res_cond.x, res_full.x, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res_cond.y, res_full.y, rtol=1e-5, atol=1e-7)
+
+
+def test_condensed_route_selected_for_sparse_eq():
+    """CVXQP-style instances (banded P, a few nnz per row of A, no G)
+    should take the condensed route; it is where the 23x CVXQP1_L tail win
+    comes from (docs/performance.md round 5).  A 10%-dense random instance
+    (A'A pattern blows up) must stay on the full KKT."""
+    from piqp_tpu.hostsparse import _KKT
+    from piqp_tpu.utils.random import sparse_strongly_convex_qp
+
+    n, p = 400, 200
+    rng = np.random.default_rng(7)
+    P = sp.diags([np.full(n - 1, -1.0), rng.uniform(3, 4, n),
+                  np.full(n - 1, -1.0)], [-1, 0, 1], format="csc")
+    # 3 nnz per row of A, CVXQP-style x_i + x_j + x_k = b_i
+    rows = np.repeat(np.arange(p), 3)
+    cols = rng.integers(0, n, 3 * p)
+    A = sp.csc_matrix((rng.standard_normal(3 * p), (rows, cols)), (p, n))
+    data = prepare_sparse(P=P, c=np.ones(n), A=A, b=A @ np.ones(n))
+    assert _KKT(data, Settings())._choose_route() == "cond"
+
+    dense_prob = sparse_strongly_convex_qp(200, 100, 0, seed=7)
+    data2 = prepare_sparse(**dense_prob)
+    assert _KKT(data2, Settings())._choose_route() == "full"
