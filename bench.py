@@ -57,15 +57,24 @@ _T0 = time.monotonic()
 # each SUCCESS immediately replaces the reported payload (so a later driver
 # timeout still reports the best completed config), and larger-B successes
 # are preferred over smaller ones.  The fast reliable config (B=256,
-# mixed+Pallas, ~3 min warm-cache / ~8 min cold) lands a number first; the
-# headline (B=1024: 193 warm solves/sec measured 2026-08-19, ~8-15 min) then
-# upgrades it.  The Pallas batched factor kernel is worth 1.8-2.8x over the
-# XLA cholesky at this size (docs/performance.md round-3 table).
+# mixed+Pallas: 1117 warm solves/s measured 2026-08-20 after the round-5
+# f32-matvec phase A) lands a number first; B=1024 then upgrades it.
 ATTEMPTS = [
     (64, 256, 128, 1, 1),
     (64, 1024, 256, 1, 1),
     (64, 512, 128, 1, 1),
     (64, 256, 128, 0, 0),
+]
+
+# Fused K-rounds-per-dispatch SQP attempt (batch.solve_batch_sqp): K warm
+# update+re-solve rounds ride ONE executable, amortizing the dispatch
+# floor — the natural TPU expression of the reference's warm SQP loop
+# (sqp_benchmarks.cpp:16-120), and the same work the warm_qps baseline
+# counts.  Runs after a northstar result is in; upgrades the headline when
+# its warm solves/s is higher.  (dim, B, rounds, mixed)
+FUSED_ATTEMPTS = [
+    (64, 1024, 16, 1),
+    (64, 256, 16, 1),
 ]
 
 METRIC = "aggregate warm QP-solves/sec (config 2: vmapped dense QPs, n=64; B in extra)"
@@ -118,6 +127,33 @@ def run_config(dim, B, chunk, mixed, pallas, timeout, env=None):
         sys.executable,
         os.path.join(REPO, "benchmarks", "northstar_bench.py"),
         str(dim), str(B), str(chunk), str(mixed), str(pallas),
+    ]
+    _child = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env=env,
+    )
+    try:
+        stdout, stderr = _child.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        _child.kill()
+        _child.communicate()
+        return None, "timeout(%ds)" % timeout
+    if _child.returncode != 0:
+        return None, (stderr or stdout)[-500:]
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except json.JSONDecodeError:
+            continue
+    return None, "no JSON in output"
+
+
+def run_fused(dim, B, rounds, mixed, timeout, env=None):
+    global _child
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "benchmarks", "sqp_fused_bench.py"),
+        str(dim), str(B), str(rounds), str(mixed),
     ]
     _child = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -204,9 +240,57 @@ def main():
                     "remaining attempts on XLA-CPU")
                 env = _cpu_env()
 
+    # Fused upgrade pass: only after a northstar result is recorded (the
+    # fused number replaces the value only when it is strictly better, so
+    # this can never lose the result already in hand).
+    if best_B:
+        for dim, B, rounds, mixed in FUSED_ATTEMPTS:
+            slice_s = _remaining() - 30
+            if slice_s < 300:
+                errors.append("budget exhausted before fused B=%d" % B)
+                break
+            res, err = run_fused(dim, B, rounds, mixed,
+                                 timeout=int(slice_s), env=env)
+            if res is None:
+                errors.append(f"fused B={B},K={rounds}: {err}")
+                continue
+            if res["fused_qps_per_s"] > _payload["value"]:
+                _record_fused(res, ref)
+                break  # first (largest-B) win is the headline
+
     if best_B == 0:
         _payload["error"] = "; ".join(errors)[-1200:]
     _emit_and_exit()
+
+
+def _record_fused(res, ref):
+    """Upgrade the headline to the fused K-rounds-per-dispatch number.
+    Same work the baseline's warm pass counts (K update+re-solve rounds,
+    sqp_benchmarks.cpp:16-120), executed as ONE executable per K rounds."""
+    refc = ref["configs"][str(res["dim"])]
+    value = res["fused_qps_per_s"]
+    extra = _payload.get("extra") or {}
+    extra.update({
+        "fused": {
+            "B": res["B"], "rounds": res["rounds"],
+            "mixed_precision": bool(res["mixed"]),
+            "solved": res["solved"], "total": res["total"],
+            "mean_round_iters": res["mean_round_iters"],
+            "us_per_problem_iter": res["us_per_problem_iter"],
+            "eff_gflops": res["eff_gflops"],
+            "note": "K warm update+re-solve rounds per dispatch "
+                    "(batch.solve_batch_sqp); dispatch-per-round "
+                    "figure in plain_warm_qps_per_s",
+        },
+        "plain_warm_qps_per_s": _payload["value"],
+        "eff_gflops": res["eff_gflops"],
+        "iter_us_per_problem": res["us_per_problem_iter"],
+    })
+    _payload.update({
+        "value": round(value, 1),
+        "vs_baseline": round(value / refc["warm_qps_per_s"], 3),
+        "extra": extra,
+    })
 
 
 def _record(res, ref, errors):

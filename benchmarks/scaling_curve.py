@@ -63,12 +63,19 @@ _COLLECTIVE_RE = re.compile(
 )
 
 
-def _collective_count(hlo: str) -> int:
-    n = 0
+def _collective_count(hlo: str) -> tuple[int, int]:
+    """(data_collectives, pred_collectives): scalar pred[] all-reduces are
+    the lockstep while-loop conditions XLA inserts for any sharded
+    lax.while_loop (O(1) bytes, not data movement) — counted separately so
+    'zero data collectives' remains the dp linear-scaling guarantee."""
+    n = npred = 0
     for line in hlo.splitlines():
         if "=" in line and _COLLECTIVE_RE.search(line.split("=", 1)[1][:80]):
-            n += 1
-    return n
+            if "pred[] all-reduce" in line:
+                npred += 1
+            else:
+                n += 1
+    return n, npred
 
 
 def main():
@@ -92,20 +99,22 @@ def main():
             lowered = _solve_batch_jit.lower(sharded, settings, True, None)
             compiled = lowered.compile()
             hlo = compiled.as_text()
-            res = compiled(sharded)
+            res = compiled(sharded, None)
             jax.block_until_ready(res)
             t0 = time.perf_counter()
-            res = compiled(sharded)
+            res = compiled(sharded, None)
             jax.block_until_ready(res)
             dt = time.perf_counter() - t0
+        datac, predc = _collective_count(hlo)
         print(json.dumps(dict(
             curve="dp", ndev=ndev, B=B, n=n,
             wall_s=round(dt, 3),
             qps_per_s=round(B / dt, 1),
-            collectives=_collective_count(hlo),
+            data_collectives=datac, pred_collectives=predc,
             solved=int(jnp.sum(res.info.status == 1)),
-            note="1-core host: devices share a core; collectives==0 is "
-                 "the linear-scaling guarantee",
+            note="1-core host: devices share a core; data_collectives==0 "
+                 "is the linear-scaling guarantee (pred[] loop-condition "
+                 "all-reduces move O(1) bytes)",
         )), flush=True)
 
     # ---- sp curve ----
@@ -118,16 +127,17 @@ def main():
                 lowered = _solve_sharded_jit.lower(sh, settings, True, None)
                 compiled = lowered.compile()
                 hlo = compiled.as_text()
-                res = compiled(sh)
+                res = compiled(sh, None)
                 jax.block_until_ready(res)
                 t0 = time.perf_counter()
-                res = compiled(sh)
+                res = compiled(sh, None)
                 jax.block_until_ready(res)
                 dt = time.perf_counter() - t0
+            datac, predc = _collective_count(hlo)
             print(json.dumps(dict(
                 curve="sp", ndev=ndev, T=T,
                 wall_s=round(dt, 3),
-                collectives=_collective_count(hlo),
+                data_collectives=datac, pred_collectives=predc,
                 status=int(res.info.status),
             )), flush=True)
 

@@ -162,23 +162,40 @@ def _(data: QPData, settings: Settings = None):
 
 
 @singledispatch
-def precompute(data):
+def precompute(data, mixed: bool = False):
     """Constant per-problem terms reused across factorizations (the
     reference caches AT_A at setup, dense/kkt.hpp:51-55).  Computed once
     outside the IPM loop; None when the representation has nothing to
-    cache."""
+    cache.
+
+    ``mixed=True`` additionally materializes float32 copies of the problem
+    matrices (``data32``, ``AtA32``) ONCE, outside the IPM while_loop.
+    The f64 phase-A matvecs were the measured iteration cost on TPU
+    (residuals_nr 14.7 us/problem f64 vs 1.9 us against f32 matrices —
+    7.9x, benchmarks/iter_profile.py round 5: f64 is emulated, so the win
+    exceeds the 2x byte reduction); hoisting the casts here also stops
+    every factorization from re-reading the f64 matrices just to cast
+    them."""
     return None
 
 
 @precompute.register
-def _(data: QPData):
+def _(data: QPData, mixed: bool = False):
+    pre = {}
     if data.p > 0:
-        return {"AtA": data.A.T @ data.A}
-    return None
+        pre["AtA"] = data.A.T @ data.A
+    if mixed:
+        f32 = jnp.float32
+        pre["data32"] = data.replace(
+            P=data.P.astype(f32), A=data.A.astype(f32), G=data.G.astype(f32)
+        )
+        if data.p > 0:
+            pre["AtA32"] = pre["AtA"].astype(f32)
+    return pre or None
 
 
 @precompute.register
-def _(data: FullKKTQPData):
+def _(data: FullKKTQPData, mixed: bool = False):
     return None
 
 
@@ -187,7 +204,11 @@ def assemble_condensed(data: QPData, ks: KKTState, pre=None) -> jax.Array:
     (dense/kkt.hpp:140-160)."""
     K = data.P + jnp.diag(ks.x_reg)
     if data.p > 0:
-        AtA = pre["AtA"] if pre else data.A.T @ data.A
+        AtA = pre.get("AtA") if pre else None
+        if AtA is None:
+            AtA = data.A.T @ data.A
+        if K.dtype == jnp.float32 and pre and "AtA32" in pre:
+            AtA = pre["AtA32"]
         K = K + AtA.astype(K.dtype) / ks.delta_reg
     if data.m > 0:
         z_reg_fact_inv = 1.0 / ks.z_reg_fact
@@ -221,9 +242,12 @@ def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False, pre=None):
         from .ops.pallas_chol import cholesky_with_inverse
 
         dt = jnp.float32 if mixed else data.P.dtype
-        dd = data.replace(
-            P=data.P.astype(dt), A=data.A.astype(dt), G=data.G.astype(dt)
-        )
+        if mixed and pre and "data32" in pre:
+            dd = pre["data32"]  # hoisted cast (see precompute)
+        else:
+            dd = data.replace(
+                P=data.P.astype(dt), A=data.A.astype(dt), G=data.G.astype(dt)
+            )
         ks_f = ks.replace(
             x_reg=ks.x_reg.astype(dt),
             z_reg_fact=ks.z_reg_fact.astype(dt),
@@ -244,9 +268,12 @@ def _factor_dense(data: QPData, ks: KKTState, mixed: bool = False, pre=None):
         return ks.replace(L=(L, Linv)), ok
     if mixed:
         f32 = jnp.float32
-        data = data.replace(
-            P=data.P.astype(f32), A=data.A.astype(f32), G=data.G.astype(f32)
-        )
+        if pre and "data32" in pre:
+            data = pre["data32"]  # hoisted cast (see precompute)
+        else:
+            data = data.replace(
+                P=data.P.astype(f32), A=data.A.astype(f32), G=data.G.astype(f32)
+            )
         ks_f = ks.replace(
             x_reg=ks.x_reg.astype(f32),
             z_reg_fact=ks.z_reg_fact.astype(f32),
@@ -294,14 +321,28 @@ def _(data: QPData, ks: KKTState, v):
 
 
 @singledispatch
-def _backend_solve(data, ks: KKTState, rx, ry, rz):
+def _backend_solve(data, ks: KKTState, rx, ry, rz, mat32=None):
     """Condensed backend solve (dense/kkt.hpp:86-105); structure-agnostic
-    given the dispatched (fused) matvecs and K-solve."""
-    v = ops.add_AtGt(data, rx, ry / ks.delta_reg, rz / ks.z_reg_fact)
+    given the dispatched (fused) matvecs and K-solve.
 
-    lx = condensed_solve_x(data, ks, v)
-
-    Ax, Gx = ops.AG_x(data, lx)
+    ``mat32``: optional f32-matrix copy of ``data`` (precompute's data32)
+    — when given, the RHS-condensation and recovery matvecs read the f32
+    matrices with f32 operands (the mixed phase-A byte/emulation
+    optimization); the surrounding vector arithmetic stays in the solver
+    dtype via promotion."""
+    if mat32 is not None:
+        f32 = jnp.float32
+        v = ops.add_AtGt(
+            mat32, rx,
+            (ry / ks.delta_reg).astype(f32),
+            (rz / ks.z_reg_fact).astype(f32),
+        )
+        lx = condensed_solve_x(data, ks, v)
+        Ax, Gx = ops.AG_x(mat32, lx.astype(f32))
+    else:
+        v = ops.add_AtGt(data, rx, ry / ks.delta_reg, rz / ks.z_reg_fact)
+        lx = condensed_solve_x(data, ks, v)
+        Ax, Gx = ops.AG_x(data, lx)
     ly = (Ax - ry) / ks.delta_reg if data.p > 0 else jnp.zeros_like(ry)
     lz = (Gx - rz) / ks.z_reg_fact if data.m > 0 else jnp.zeros_like(rz)
     return lx, ly, lz
@@ -367,7 +408,7 @@ def _factor_full_lu(
 
 
 @_backend_solve.register
-def _(data: FullKKTQPData, ks: KKTState, rx, ry, rz):
+def _(data: FullKKTQPData, ks: KKTState, rx, ry, rz, mat32=None):
     import jax.scipy.linalg as jsl
 
     lu, piv = ks.L
@@ -429,7 +470,7 @@ def _factor_full_ldlt(
 
 
 @_backend_solve.register
-def _(data: LDLTKKTQPData, ks: KKTState, rx, ry, rz):
+def _(data: LDLTKKTQPData, ks: KKTState, rx, ry, rz, mat32=None):
     from .ops import ldlt
 
     L, Linvs = ks.L
@@ -447,14 +488,25 @@ def _(data: LDLTKKTQPData, ks: KKTState, rx, ry, rz):
     return sol[:n], sol[n:n + p], sol[n + p:n + p + m]
 
 
-def mul_condensed(data, ks: KKTState, lx, ly, lz):
+def mul_condensed(data, ks: KKTState, lx, ly, lz, mat32=None):
     """Condensed KKT matvec for refinement (kkt_system.hpp:507-519).
 
     Note: uses the (possibly statically regularized) x_reg but the
     *unregularized* delta and z_reg, exactly as the reference does.
+
+    ``mat32``: optional f32-matrix copy — the matvecs then run with f32
+    matrices AND f32 operands (phase-A mixed optimization; the residual
+    is f32-accurate, which is exactly the factor's accuracy there).
     """
-    Px, Ax, Gx = ops.PAG_x(data, lx)
-    rx = ops.add_AtGt(data, Px + ks.x_reg * lx, ly, lz)
+    md = data if mat32 is None else mat32
+    f32 = jnp.float32
+    lxm = lx if mat32 is None else lx.astype(f32)
+    Px, Ax, Gx = ops.PAG_x(md, lxm)
+    rx0 = Px + ks.x_reg * lx
+    if mat32 is None:
+        rx = ops.add_AtGt(md, rx0, ly, lz)
+    else:
+        rx = ops.add_AtGt(md, rx0, ly.astype(f32), lz.astype(f32))
     ry = Ax - ks.delta * ly if data.p > 0 else jnp.zeros_like(ly)
     rz = Gx - ks.z_reg * lz if data.m > 0 else jnp.zeros_like(lz)
     return rx, ry, rz
@@ -508,14 +560,15 @@ def _inf3(x, y, z):
     )
 
 
-def _refine_error(data, ks, lx, ly, lz, rx, ry, rz):
-    ex, ey, ez = mul_condensed(data, ks, lx, ly, lz)
+def _refine_error(data, ks, lx, ly, lz, rx, ry, rz, mat32=None):
+    ex, ey, ez = mul_condensed(data, ks, lx, ly, lz, mat32)
     ex, ey, ez = rx - ex, ry - ey, rz - ez
     return ex, ey, ez, _inf3(ex, ey, ez)
 
 
 def _solve_condensed_refined(
-    data: QPData, settings: Settings, ks: KKTState, rx, ry, rz, mu=None
+    data: QPData, settings: Settings, ks: KKTState, rx, ry, rz, mu=None,
+    mat32=None,
 ):
     """Backend solve + iterative refinement (kkt_system.hpp:254-308).
 
@@ -539,12 +592,13 @@ def _solve_condensed_refined(
     tighten automatically as mu -> 0; final accuracy is still governed by
     the unregularized residual checks in the solver's termination test.
     """
-    lx, ly, lz = _backend_solve(data, ks, rx, ry, rz)
+    lx, ly, lz = _backend_solve(data, ks, rx, ry, rz, mat32)
 
     def with_refinement(args):
         lx, ly, lz = args
         rhs_norm = _inf3(rx, ry, rz)
-        ex, ey, ez, err = _refine_error(data, ks, lx, ly, lz, rx, ry, rz)
+        ex, ey, ez, err = _refine_error(data, ks, lx, ly, lz, rx, ry, rz,
+                                        mat32)
         ok0 = jnp.isfinite(err)
 
         tol = (
@@ -553,6 +607,14 @@ def _solve_condensed_refined(
         )
         if settings.refine_mu_factor > 0 and mu is not None:
             tol = jnp.maximum(tol, settings.refine_mu_factor * mu)
+        if mat32 is not None:
+            # the residual itself is computed against f32 matrices, so
+            # error below ~f32 noise is unmeasurable — don't chase it
+            # (the improvement-rate exit would also stop, but only after
+            # wasted passes)
+            tol = jnp.maximum(
+                tol, 32.0 * float(jnp.finfo(jnp.float32).eps) * rhs_norm
+            )
 
         def cond(c):
             i, _lx, _ly, _lz, _ex, _ey, _ez, err, done, ok = c
@@ -563,9 +625,10 @@ def _solve_condensed_refined(
 
         def body(c):
             i, lx, ly, lz, ex, ey, ez, err, done, ok = c
-            dx, dy, dz = _backend_solve(data, ks, ex, ey, ez)
+            dx, dy, dz = _backend_solve(data, ks, ex, ey, ez, mat32)
             cx, cy, cz = lx + dx, ly + dy, lz + dz
-            nex, ney, nez, nerr = _refine_error(data, ks, cx, cy, cz, rx, ry, rz)
+            nex, ney, nez, nerr = _refine_error(data, ks, cx, cy, cz,
+                                                rx, ry, rz, mat32)
             ok = jnp.isfinite(nerr)
             rate = err / nerr
             slow = rate < settings.iterative_refinement_min_improvement_rate
@@ -595,13 +658,15 @@ def _solve_condensed_refined(
 
 
 def solve(
-    data: QPData, settings: Settings, ks: KKTState, rhs: Vars, mu=None
+    data: QPData, settings: Settings, ks: KKTState, rhs: Vars, mu=None,
+    mat32=None,
 ) -> tuple[Vars, jax.Array]:
     """Full KKT solve: condense RHS, solve the (x,y,z) system, recover the
     slack/dual directions (kkt_system.hpp:213-369).
 
     ``mu`` feeds the inexact-IPM refinement tolerance (see
-    ``_solve_condensed_refined``).  Returns (lhs, ok).
+    ``_solve_condensed_refined``); ``mat32`` routes the heavy matvecs
+    through hoisted f32 matrix copies (mixed phase A).  Returns (lhs, ok).
     """
     # condensed inequality RHS (kkt_system.hpp:219-234)
     rz_l_bar = jnp.where(data.hl_mask, rhs.z_l - ks.z_l_inv * rhs.s_l, 0.0)
@@ -618,7 +683,7 @@ def solve(
     )
 
     lx, ly, lz, ok = _solve_condensed_refined(
-        data, settings, ks, rhs_x_bar, rhs.y, rhs_z_bar, mu
+        data, settings, ks, rhs_x_bar, rhs.y, rhs_z_bar, mu, mat32
     )
 
     # inequality dual/slack recovery (kkt_system.hpp:310-345).  The uniform

@@ -220,6 +220,27 @@ def _(data: StageQPData):
     )
 
 
+@kkt_mod.precompute.register
+def _(data: StageQPData, mixed: bool = False):
+    """Mixed-precision support: hoisted f32 copies of the stage blocks.
+    The phase-A residual/refinement matvecs and the block assembly then
+    run in f32 (f64 einsums are emulated on TPU — the same measured 7.9x
+    lever as the dense backend's data32, docs/performance.md round 5)."""
+    if not mixed:
+        return None
+    f32 = jnp.float32
+
+    def cast(a):
+        return a.astype(f32) if a.dtype == jnp.float64 else a
+
+    return {"data32": data.replace(
+        Pd=cast(data.Pd), Psub=cast(data.Psub), Pa=cast(data.Pa),
+        Pc=cast(data.Pc), A1=cast(data.A1), A2=cast(data.A2),
+        Ag=cast(data.Ag), G1=cast(data.G1), G2=cast(data.G2),
+        Gg=cast(data.Gg),
+    )}
+
+
 # ---------------------------------------------------------------------------
 # block factorization (factor_kkt + block_syrk assembly,
 # multistage_kkt.hpp:820-1352)
@@ -745,12 +766,27 @@ def _(data: StageQPData, ks, mixed: bool = False, pre=None):
     multistage_kkt.hpp:1253-1352), cyclic reduction for medium horizons
     (16 <= T <= 256, any parity), two-level chunked beyond that (see the
     scheme-selection note above _use_cr)."""
-    Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
     if mixed:
         f32 = jnp.float32
-        Kd, Ksub, Ka, Kc = (
-            Kd.astype(f32), Ksub.astype(f32), Ka.astype(f32), Kc.astype(f32)
-        )
+        # assemble directly in f32 from the hoisted data32 blocks (f64
+        # einsums are emulated on TPU; see the precompute registration)
+        src = (pre["data32"] if isinstance(pre, dict) and "data32" in pre
+               else None)
+        if src is not None:
+            ks_f = ks.replace(
+                x_reg=ks.x_reg.astype(f32),
+                z_reg_fact=ks.z_reg_fact.astype(f32),
+                delta_reg=ks.delta_reg.astype(f32),
+            )
+            Kd, Ksub, Ka, Kc = _assemble_blocks(src, ks_f)
+        else:
+            Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
+            Kd, Ksub, Ka, Kc = (
+                Kd.astype(f32), Ksub.astype(f32),
+                Ka.astype(f32), Kc.astype(f32),
+            )
+    else:
+        Kd, Ksub, Ka, Kc = _assemble_blocks(data, ks)
     if _use_cr(data.T):
         # the placeholder's level arity picks the kernel (empty_factor)
         pallas = len(ks.L[0][0]) == 5

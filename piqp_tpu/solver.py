@@ -66,7 +66,7 @@ def _masked_signed_max(v: jax.Array, mask: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def residuals_nr(
-    data: QPData, sc: Scaling, vars: Vars, info: Info
+    data: QPData, sc: Scaling, vars: Vars, info: Info, mat32=None
 ) -> tuple[BasicVars, Info]:
     """Non-regularized residuals, objectives and relative norms
     (solver.hpp:960-1105).
@@ -75,10 +75,23 @@ def residuals_nr(
     and the per-bound masked maxima are stacked into one reduction per
     vector length — max is order-free, so the values are bitwise identical
     to the per-term formulation; only the op count changes (hot on
-    dispatch-overhead-bound runtimes, benchmarks/iter_profile.py)."""
-    x, y = vars.x, vars.y
+    dispatch-overhead-bound runtimes, benchmarks/iter_profile.py).
 
-    Px, Ax, Gx = ops.PAG_x(data, x)
+    ``mat32``: optional f32-matrix copy (kkt.precompute's data32) — the
+    matvecs then run in f32 (mixed phase A: residual accuracy ~1e-6
+    relative, plenty while mu > mixed_precision_mu_switch; every phase-B
+    iteration recomputes in f64, so termination and certificates always
+    see full-precision residuals).  Outputs are cast back to the solver
+    dtype for loop-carry type stability."""
+    x, y = vars.x, vars.y
+    dt = x.dtype
+
+    if mat32 is not None:
+        f32 = jnp.float32
+        Px, Ax, Gx = ops.PAG_x(mat32, x.astype(f32))
+        Px, Ax, Gx = Px.astype(dt), Ax.astype(dt), Gx.astype(dt)
+    else:
+        Px, Ax, Gx = ops.PAG_x(data, x)
     if data.p == 0:
         Ax = jnp.zeros_like(vars.y)
     if data.m == 0:
@@ -117,7 +130,13 @@ def residuals_nr(
         jnp.where(data.xu_mask, data.x_b_scaling * vars.z_bu, 0.0)
         - jnp.where(data.xl_mask, data.x_b_scaling * vars.z_bl, 0.0)
     )
-    work_x = ops.add_AtGt(data, work_x, y, dz)
+    if mat32 is not None:
+        f32 = jnp.float32
+        work_x = ops.add_AtGt(
+            mat32, work_x.astype(f32), y.astype(f32), dz.astype(f32)
+        ).astype(dt)
+    else:
+        work_x = ops.add_AtGt(data, work_x, y, dz)
     dual_rel = jnp.maximum(dual_rel, _inf_norm(data.c * ud_x))
     dual_rel = jnp.maximum(dual_rel, _inf_norm(work_x * ud_x))
     res_x = -Px - data.c - work_x
@@ -845,6 +864,9 @@ def _check_termination(data, sc, settings, st: IPMState) -> IPMState:
 def _iteration(
     data, sc, settings, has_cone, st: IPMState, mixed: bool = False, pre=None
 ) -> IPMState:
+    # f32 matrix copies for the phase-A matvecs (hoisted by precompute;
+    # measured 7.9x on the residual pass, benchmarks/iter_profile.py r5)
+    mat32 = pre.get("data32") if (mixed and isinstance(pre, dict)) else None
     info = st.info.replace(iter=st.info.iter + 1)
     vars = st.vars
     eps = float(jnp.finfo(data.c.dtype).eps)
@@ -924,13 +946,13 @@ def _iteration(
         )
         st = st.replace(res=res, info=info)
         if has_cone:
-            return _centering_step(data, sc, settings, st)
-        return _equality_only_step(data, sc, settings, st)
+            return _centering_step(data, sc, settings, st, mat32)
+        return _equality_only_step(data, sc, settings, st, mat32)
 
     return lax.cond(failed, numerics, proceed, st)
 
 
-def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
+def _centering_step(data, sc, settings, st: IPMState, mat32=None) -> IPMState:
     """Mehrotra predictor-corrector step (solver.hpp:720-829)."""
     vars, res, info, ks = st.vars, st.res, st.info, st.ks
 
@@ -941,7 +963,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
         s_bl=-vars.s_bl * vars.z_bl,
         s_bu=-vars.s_bu * vars.z_bu,
     )
-    step, _ = kkt.solve(data, settings, ks, res, info.mu)
+    step, _ = kkt.solve(data, settings, ks, res, info.mu, mat32)
 
     alpha_s, alpha_z = calculate_step(vars, step, data)
     alpha_s = alpha_s * settings.tau
@@ -963,7 +985,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
         s_bl=res.s_bl + jnp.where(data.xl_mask, -step.s_bl * step.z_bl + sm, 0.0),
         s_bu=res.s_bu + jnp.where(data.xu_mask, -step.s_bu * step.z_bu + sm, 0.0),
     )
-    step, _ = kkt.solve(data, settings, ks, res, info.mu)
+    step, _ = kkt.solve(data, settings, ks, res, info.mu, mat32)
 
     alpha_s, alpha_z = calculate_step(vars, step, data)
 
@@ -999,7 +1021,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
                 s_bu=res.s_bu + corr(vars.s_bu, vars.z_bu, step.s_bu,
                                      step.z_bu, data.xu_mask),
             )
-            step_t, _ = kkt.solve(data, settings, ks, res_t, info.mu)
+            step_t, _ = kkt.solve(data, settings, ks, res_t, info.mu, mat32)
             a_s2, a_z2 = calculate_step(vars, step_t, data)
             accept = jnp.logical_and(
                 jnp.logical_and(a_s2 >= alpha_s, a_z2 >= alpha_z),
@@ -1039,7 +1061,7 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
         mu=mu, sigma=sigma, primal_step=primal_step, dual_step=dual_step
     )
 
-    res_nr, info = residuals_nr(data, sc, vars, info)
+    res_nr, info = residuals_nr(data, sc, vars, info, mat32)
 
     # ---- proximal parameter updates (solver.hpp:794-829)
     prox = st.prox
@@ -1117,17 +1139,17 @@ def _centering_step(data, sc, settings, st: IPMState) -> IPMState:
     return st.replace(vars=vars, prox=prox, res_nr=res_nr, res=res, info=info)
 
 
-def _equality_only_step(data, sc, settings, st: IPMState) -> IPMState:
+def _equality_only_step(data, sc, settings, st: IPMState, mat32=None) -> IPMState:
     """Full-step path when there are no inequalities or bounds
     (solver.hpp:831-877)."""
     vars, res, info, ks = st.vars, st.res, st.info, st.ks
 
-    step, _ = kkt.solve(data, settings, ks, res)
+    step, _ = kkt.solve(data, settings, ks, res, None, mat32)
     vars = vars.replace(x=vars.x + step.x, y=vars.y + step.y)
     info = info.replace(primal_step=jnp.asarray(1.0, vars.x.dtype),
                         dual_step=jnp.asarray(1.0, vars.x.dtype))
 
-    res_nr, info = residuals_nr(data, sc, vars, info)
+    res_nr, info = residuals_nr(data, sc, vars, info, mat32)
 
     prox = st.prox
     dual_progress = jnp.logical_or(
@@ -1249,7 +1271,7 @@ def solve_scaled(
     ``warm``: optional user-space (unscaled) iterates (x, y, z_*) from a
     previous solve of a nearby problem; see ``_warm_vars``.
     """
-    pre = kkt.precompute(data)
+    pre = kkt.precompute(data, settings.mixed_precision)
     state, failed = _init_state(
         data, sc, settings, has_cone, settings.mixed_precision, pre, warm
     )
