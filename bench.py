@@ -72,8 +72,12 @@ ATTEMPTS = [
 # (sqp_benchmarks.cpp:16-120), and the same work the warm_qps baseline
 # counts.  Runs after a northstar result is in; upgrades the headline when
 # its warm solves/s is higher.  (dim, B, rounds, mixed)
+#
+# B is capped at 256: a fused (B=1024, K=16) single dispatch exceeds this
+# tunnel's per-dispatch envelope and CRASHES the TPU worker (kernel fault,
+# measured 2026-08-20); a chunked fused sweep is semantically the B=256
+# config dispatched 4x, so nothing is lost by the cap.
 FUSED_ATTEMPTS = [
-    (64, 1024, 16, 1),
     (64, 256, 16, 1),
 ]
 

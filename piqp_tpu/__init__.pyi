@@ -66,6 +66,7 @@ class Settings:
     dtype: str
     mixed_precision: bool
     mixed_precision_mu_switch: float
+    mixed_phase_a_patience: int
     pallas_kernels: bool | None
     dense_routing_max_n: Optional[int]
     refine_mu_factor: float

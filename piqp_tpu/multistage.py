@@ -603,7 +603,7 @@ def cr_chain_factor(Kd, Ksub, Ka, pallas: bool = False):
     of a substitution sweep (the batched block-potrf/trsm replacement for
     the reference's per-stage kernel calls, multistage_kkt.hpp:1253-1352)."""
     if pallas:
-        from .ops.pallas_chol import cholesky_with_inverse
+        from .ops.pallas_chol import cholesky_inverse_apply
 
     T = Kd.shape[0]
     W = Ka.shape[-2]
@@ -619,11 +619,19 @@ def cr_chain_factor(Kd, Ksub, Ka, pallas: bool = False):
         Eo, Ee = Ka[1::2], Ka[0::2]
 
         if pallas:
-            Lo, Lo_inv = jax.vmap(cholesky_with_inverse)(Do)
+            # fused chain-step kernel: factor + inverse + all three
+            # substitution operators in ONE VMEM-resident Pallas pass
+            # (ops/pallas_chol.cholesky_inverse_apply — the batched analog
+            # of the reference's per-stage potrf+trsm panel calls,
+            # multistage_kkt.hpp:1253-1352)
+            D = Do.shape[-1]
+            RHS = jnp.concatenate(
+                [S_in, jnp.swapaxes(S_out, -1, -2),
+                 jnp.swapaxes(Eo, -1, -2)], axis=-1,
+            )  # (H_o, D, 2D + W)
+            Lo, Lo_inv, Y = jax.vmap(cholesky_inverse_apply)(Do, RHS)
             ok = ok & jnp.all(jnp.isfinite(Lo)) & jnp.all(jnp.isfinite(Lo_inv))
-            X1 = _inv_bsolve(Lo_inv, S_in)
-            X2 = _inv_bsolve(Lo_inv, jnp.swapaxes(S_out, -1, -2))
-            XE = _inv_bsolve(Lo_inv, jnp.swapaxes(Eo, -1, -2))
+            X1, X2, XE = Y[..., :D], Y[..., D:2 * D], Y[..., 2 * D:]
             levels.append((Lo, Lo_inv, X1, X2, XE))
         else:
             Lo = jnp.linalg.cholesky(Do)

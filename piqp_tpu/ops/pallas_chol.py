@@ -255,6 +255,125 @@ def inv_solve(Linv: jax.Array, v: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# fused variant: factor + inverse + apply — the cyclic-reduction chain-step
+# kernel (multistage.cr_chain_factor).  One VMEM round trip produces the
+# odd-block factor, its triangular inverse AND the three substitution
+# operators X = Do^-1 [S_in | S_out^T | Eo^T]; the level's remaining work
+# (Schur-product einsums) is pure batched GEMM that XLA fuses.  This is the
+# batched analog of the reference's per-stage potrf+trsm BLASFEO panel
+# calls (multistage_kkt.hpp:1253-1352, utils/blasfeo_wrapper.hpp:21-120):
+# instead of pipelining panels of ONE recursion, it executes the whole
+# level's independent block set at once and keeps every intermediate in
+# VMEM.
+# ---------------------------------------------------------------------------
+
+def _chol_inv_apply_kernel(a_ref, rhs_ref, l_ref, linv_ref, y_ref, *, n: int):
+    """(TB, n, n) factor+inverse, then Y = K^-1 RHS for a stacked
+    (TB, n, R) right-hand block — the two substitution GEMMs run against
+    the VMEM-resident Linv with no HBM round trip."""
+    _chol_inv_kernel(a_ref, l_ref, linv_ref, n=n)
+    dt = l_ref.dtype
+    z = lax.dot_general(
+        linv_ref[:], rhs_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=dt,
+    )  # Linv @ RHS            (TB, n, R)
+    y_ref[:] = lax.dot_general(
+        linv_ref[:], z,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dt,
+    )  # Linv^T @ (Linv @ RHS) (TB, n, R)
+
+
+def _pallas_chol_inv_apply_batched(K, RHS):
+    """(B, n, n), (B, n, R) -> (L, Linv, Y = K^-1 RHS)."""
+    B, n, _ = K.shape
+    R = RHS.shape[-1]
+    tb = _TB if n <= 128 else 2
+    pad = (-B) % tb
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), (pad, n, n))
+        K = jnp.concatenate([K, eye], axis=0)
+        RHS = jnp.concatenate(
+            [RHS, jnp.zeros((pad, n, R), RHS.dtype)], axis=0
+        )
+    Bp = K.shape[0]
+
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_chol_inv_apply_kernel, n=n),
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, R), lambda i: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, n), lambda i: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, R), lambda i: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, n, n), K.dtype),
+            jax.ShapeDtypeStruct((Bp, n, n), K.dtype),
+            jax.ShapeDtypeStruct((Bp, n, R), K.dtype),
+        ),
+        interpret=interpret,
+    )(K, RHS)
+    L, Linv, Y = out
+    if pad:
+        L, Linv, Y = L[:B], Linv[:B], Y[:B]
+    return L, Linv, Y
+
+
+def _chol_inv_apply_fallback(K, RHS):
+    L, Linv = _chol_inv_fallback(K)
+    Y = Linv.T @ (Linv @ RHS)
+    return L, Linv, Y
+
+
+@jax.custom_batching.custom_vmap
+def cholesky_inverse_apply(K, RHS):
+    """L = chol(K), Linv = L^-1 and Y = K^-1 RHS for one (n, n) SPD matrix
+    and an (n, R) right-hand block.
+
+    Under vmap (the CR level's odd-block set) this dispatches to the fused
+    Pallas kernel — factor, inverse and both substitution GEMMs in one
+    VMEM-resident pass.  Unbatched (or nested-vmap / oversized / f64-on-
+    TPU) it composes the existing fallbacks."""
+    return _chol_inv_apply_fallback(K, RHS)
+
+
+@cholesky_inverse_apply.def_vmap
+def _cholesky_inverse_apply_vmap(axis_size, in_batched, K, RHS):
+    k_batched, r_batched = in_batched
+    if not k_batched:
+        K = jnp.broadcast_to(K, (axis_size,) + K.shape)
+    if not r_batched:
+        RHS = jnp.broadcast_to(RHS, (axis_size,) + RHS.shape)
+    n = K.shape[-1]
+    kernel_ok = (
+        K.ndim == 3
+        and K.shape[-2] == n
+        and RHS.ndim == 3
+        and n <= _MAX_PALLAS_N
+        and (
+            (K.dtype == jnp.float32 and jax.default_backend() == "tpu")
+            or jax.default_backend() == "cpu"  # interpret mode, any dtype
+        )
+    )
+    if kernel_ok:
+        out = _pallas_chol_inv_apply_batched(K, RHS)
+    else:
+        out = jax.vmap(_chol_inv_apply_fallback)(K, RHS)
+    return out, (True, True, True)
+
+
+# ---------------------------------------------------------------------------
 # signed variant: K = L S L^T for quasi-definite K (the batched Pallas path
 # of the dense_ldlt backend; blocked single-problem version in ops/ldlt.py)
 # ---------------------------------------------------------------------------

@@ -687,8 +687,11 @@ def _init_state(
     if warm is not None:
         # warm start performs no init KKT solve, and the first iteration
         # refactors before its first solve — so the init factorization is
-        # dead work (10-25% of a short warm solve).  Build the KKT state
-        # with a placeholder factor instead.
+        # dead work.  Measured saving (benchmarks/iter_profile.py, B=256
+        # n=64 TPU): scalings 2.3 us + factor 3.2 us (f32 Pallas) or
+        # 32.4 us (f64 rank-1) per problem — up to ~4% of a short warm
+        # solve at the round-5 warm rate, more when the f64 factor is
+        # taken.  Build the KKT state with a placeholder factor instead.
         ks = kkt.compute_scalings(
             data, settings, vars0, info.rho, info.delta, use_ir, P_diag
         )  # leaves L as the empty_factor placeholder
@@ -1323,10 +1326,20 @@ def solve_scaled(
             # batch); switching on mu keeps both phases on their fast
             # path.
             def cond_a(s):
-                return jnp.logical_and(
-                    cond(s),
-                    s.info.mu > settings.mixed_precision_mu_switch,
-                )
+                in_a = s.info.mu > settings.mixed_precision_mu_switch
+                if settings.mixed_phase_a_patience > 0:
+                    # stall exit (types.Settings.mixed_phase_a_patience):
+                    # a plateaued problem gains nothing from more f32
+                    # iterations — hand it to the f64 endgame, which both
+                    # unsticks it and releases its lockstep chunk
+                    stalled = jnp.maximum(
+                        s.info.no_primal_update, s.info.no_dual_update
+                    ) >= settings.mixed_phase_a_patience
+                    backstop = s.info.iter >= settings.max_iter // 2
+                    in_a = jnp.logical_and(
+                        in_a, ~jnp.logical_or(stalled, backstop)
+                    )
+                return jnp.logical_and(cond(s), in_a)
 
             st = _cast_L(st, jnp.float32)
             st = lax.while_loop(cond_a, make_body(True), st)

@@ -199,6 +199,17 @@ class Settings:
     # (late-IPM condensed systems exceed float32's conditioning range).
     mixed_precision: bool = False
     mixed_precision_mu_switch: float = 1e-5
+    # Phase-A stall exit: leave the float32 phase early (fall to the f64
+    # endgame) when neither primal nor dual residual has progressed for
+    # this many consecutive iterations (the no_*_update counters,
+    # solver.hpp:641-681 semantics) — ill-conditioned problems can plateau
+    # above mu_switch because f32-quality steps stop improving them, and
+    # in a lockstep batch one such problem pins the whole chunk in phase A
+    # (measured: 2/1024 north-star problems, 32 -> 250 iterations after
+    # the round-5 f32-matvec change; the guard restores the f64
+    # trajectory for exactly those).  Chosen above the finetune thresholds
+    # (7) so regularization fine-tuning gets its chance first.  0 disables.
+    mixed_phase_a_patience: int = 12
     # Use the Pallas batched Cholesky + fused-triangular-inverse kernel and
     # the factor-with-inverse representation for the condensed dense backend
     # (ops/pallas_chol.py): f32 fleets (n <= 256) hit the Mosaic kernel,
@@ -272,6 +283,7 @@ class Settings:
             and self.tau > 0
             and self.tau <= 1
             and self.mixed_precision_mu_switch > 0
+            and self.mixed_phase_a_patience >= 0
             and self.refine_mu_factor >= 0
             and (
                 self.dense_routing_max_n is None

@@ -156,3 +156,41 @@ def test_chol_inv_rank1_matches_xla(n):
                                atol=1e-10, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(Linv1), np.asarray(Linv2),
                                atol=1e-10, rtol=1e-8)
+
+
+@pytest.mark.parametrize("n,r", [(8, 18), (32, 80), (64, 144)])
+def test_chol_inv_apply_fused(n, r):
+    """The fused factor+inverse+apply kernel (the CR chain-step kernel)
+    matches a plain solve: Y == K^-1 RHS, L == chol(K)."""
+    from piqp_tpu.ops.pallas_chol import _pallas_chol_inv_apply_batched
+
+    B = 5  # not a tile multiple (pads internally)
+    K = _spd_batch(B, n, jnp.float64, seed=n + r)
+    rng = np.random.default_rng(r)
+    RHS = jnp.asarray(rng.standard_normal((B, n, r)))
+    L, Linv, Y = _pallas_chol_inv_apply_batched(K, RHS)
+    np.testing.assert_allclose(
+        np.asarray(L), np.asarray(jnp.linalg.cholesky(K)), atol=1e-11,
+        rtol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(K @ Y), np.asarray(RHS), atol=1e-8, rtol=1e-9
+    )
+
+
+def test_chol_inv_apply_custom_vmap():
+    """vmapped cholesky_inverse_apply dispatches the fused kernel and
+    agrees with the unbatched fallback composition."""
+    from piqp_tpu.ops.pallas_chol import cholesky_inverse_apply
+
+    B, n, r = 4, 24, 52
+    K = _spd_batch(B, n, jnp.float64, seed=7)
+    rng = np.random.default_rng(9)
+    RHS = jnp.asarray(rng.standard_normal((B, n, r)))
+    Lb, Linvb, Yb = jax.vmap(cholesky_inverse_apply)(K, RHS)
+    for i in range(B):
+        L1, Linv1, Y1 = cholesky_inverse_apply(K[i], RHS[i])
+        np.testing.assert_allclose(np.asarray(Lb[i]), np.asarray(L1),
+                                   atol=1e-10, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(Yb[i]), np.asarray(Y1),
+                                   atol=1e-8, rtol=1e-8)
