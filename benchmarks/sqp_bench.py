@@ -41,7 +41,7 @@ def _perturb(prob, rng, scale=1e-3):
     return out
 
 
-def bench_multistage(name):
+def bench_multistage(name, mixed=False):
     """Measurement pattern for the tunneled TPU runtime: build and UPLOAD
     every perturbed problem before the first dispatch, then time the
     solves back-to-back.  Interleaving host->device transfers (or host
@@ -62,15 +62,17 @@ def bench_multistage(name):
         sdatas.append(jax.device_put(sd))
     jax.block_until_ready(sdatas)
 
+    settings = Settings(mixed_precision=mixed)
+
     t0 = time.perf_counter()
     sdata, layout = ms.from_sparse(**prob)
-    res = solve_prepared(sdata)  # warmup/compile
+    res = solve_prepared(sdata, settings)  # warmup/compile
     np.asarray(res.x)  # readback: the only reliable completion barrier here
     setup_time = time.perf_counter() - t0
     assert int(res.info.status) == Status.SOLVED, int(res.info.status)
 
     t0 = time.perf_counter()
-    outs = [solve_prepared(sd) for sd in sdatas]
+    outs = [solve_prepared(sd, settings) for sd in sdatas]
     for o in outs:
         np.asarray(o.x)
     solve_ms = (time.perf_counter() - t0) / REPS * 1e3
@@ -79,17 +81,17 @@ def bench_multistage(name):
 
     # warm-started re-solves seeded from the base solve (the actual SQP
     # inner-loop pattern; compile warmup happened above via `res`)
-    wres = solve_prepared(sdatas[0], warm=res)
+    wres = solve_prepared(sdatas[0], settings, warm=res)
     np.asarray(wres.x)
     t0 = time.perf_counter()
-    wouts = [solve_prepared(sd, warm=res) for sd in sdatas]
+    wouts = [solve_prepared(sd, settings, warm=res) for sd in sdatas]
     for o in wouts:
         np.asarray(o.x)
     warm_ms = (time.perf_counter() - t0) / REPS * 1e3
 
     return dict(
         fixture=name,
-        backend="multistage_device",
+        backend="multistage_device_mixed" if mixed else "multistage_device",
         setup_s=round(setup_time, 3),
         update_ms=round(float(np.median(upd_ts)) * 1e3, 2),
         solve_ms=round(solve_ms, 2),
@@ -188,6 +190,9 @@ def bench_host(name):
 
 _BACKENDS = {
     "multistage": bench_multistage,
+    # mixed: f32 phase-A factors -> the fused CR chain-step Pallas kernel
+    # (ops/pallas_chol.cholesky_inverse_apply) engages on TPU
+    "multistage_mixed": lambda name: bench_multistage(name, mixed=True),
     "dense": bench_dense_device,
     "host": bench_host,
 }

@@ -70,6 +70,7 @@ class Settings:
     pallas_kernels: bool | None
     dense_routing_max_n: Optional[int]
     refine_mu_factor: float
+    refine_static_passes: int
     verify_certificates: bool
     warm_start_mu: float
     centrality_correctors: int

@@ -597,6 +597,34 @@ def _solve_condensed_refined(
     """
     lx, ly, lz = _backend_solve(data, ks, rx, ry, rz, mat32)
 
+    if (
+        mat32 is not None
+        and mu is not None
+        and settings.refine_mu_factor > 0
+        and settings.refine_static_passes >= 0
+    ):
+        # Statically unrolled phase-A refinement (types.Settings.
+        # refine_static_passes): a FIXED number of correction passes with
+        # no error norms, no improvement-rate logic and no while_loop.
+        # Measured (benchmarks/iter_profile.py round 5): the adaptive
+        # refined solve costs 62.7 us/problem at the mu-relaxed tolerance
+        # while its arithmetic content (solve 3.2 + pass ~5 us) is ~10 —
+        # the lockstep while_loop's per-trip machinery (three masked
+        # norm reductions, rate/slow/done selects, batched cond sync) IS
+        # the cost.  Inexact-IPM theory only needs solve accuracy
+        # proportional to mu here, the f64 endgame re-solves adaptively,
+        # and termination always checks true residuals, so fixed passes
+        # in phase A trade nothing but unmeasurable accuracy.  The
+        # factor-ladder's failure signal is preserved via one finiteness
+        # check on the final iterate.
+        for _ in range(settings.refine_static_passes):
+            ex, ey, ez = mul_condensed(data, ks, lx, ly, lz, mat32)
+            ex, ey, ez = rx - ex, ry - ey, rz - ez
+            dx, dy, dz = _backend_solve(data, ks, ex, ey, ez, mat32)
+            lx, ly, lz = lx + dx, ly + dy, lz + dz
+        ok = jnp.isfinite(jnp.sum(lx) + jnp.sum(ly) + jnp.sum(lz))
+        return lx, ly, lz, ok
+
     def with_refinement(args):
         lx, ly, lz = args
         rhs_norm = _inf3(rx, ry, rz)

@@ -240,6 +240,17 @@ class Settings:
     # final solution accuracy is unchanged (validated by the corpus suite).
     # 0 disables (fixed-tolerance refinement, the round-3 behavior).
     refine_mu_factor: float = 1e-2
+    # Statically unrolled refinement for the f32 phase A of mixed
+    # precision (requires refine_mu_factor > 0): exactly this many
+    # correction passes, with no error norms, improvement-rate logic or
+    # while_loop — the adaptive loop's lockstep machinery costs ~6x its
+    # arithmetic on TPU (62.7 vs ~10 us/problem per refined solve,
+    # benchmarks/iter_profile.py round 5).  Accuracy is safe by the same
+    # inexact-IPM argument as refine_mu_factor: phase A only needs
+    # mu-proportional solve accuracy, the f64 endgame still refines
+    # adaptively, and termination checks true unregularized residuals.
+    # -1 disables (adaptive refinement everywhere, the round-4 behavior).
+    refine_static_passes: int = 1
     # Validate Farkas certificates before returning PRIMAL/DUAL_INFEASIBLE
     # (no reference analog — the reference certifies from stall counters
     # alone, solver.hpp:616-630, which is trajectory-sensitive).  A failed
@@ -285,6 +296,7 @@ class Settings:
             and self.mixed_precision_mu_switch > 0
             and self.mixed_phase_a_patience >= 0
             and self.refine_mu_factor >= 0
+            and self.refine_static_passes >= -1
             and (
                 self.dense_routing_max_n is None
                 or self.dense_routing_max_n >= 0
