@@ -193,6 +193,29 @@ def test_maros_meszaros_dense_device_medium(name):
     )
 
 
+# 512 < n <= 1000 instances through the device dense condensed backend —
+# the sizes the measured routing crossover admits (benchmarks/
+# routing_crossover.py, 2026-08-20 TPU run: device wins at n=649 and is
+# within ~8% of host at n=1000; benchmarks/routing_crossover.json).
+# The default SparseSolver routing cap stays at 512 (conservative for the
+# per-dispatch-cost regime), but the backend itself must cover these.
+LARGE_DEVICE_MAROS = [
+    "PRIMAL2", "GOULDQP2", "GOULDQP3", "PRIMAL3", "MOSARQP2", "CVXQP2_M",
+]
+
+
+@pytest.mark.corpus
+@pytest.mark.parametrize("name", LARGE_DEVICE_MAROS)
+def test_maros_meszaros_dense_device_large(name):
+    prob = load_mat(os.path.join(MAROS_DIR, name + ".mat"))
+    view, res = _solve_padded(prob)
+    assert int(res.info.status) == Status.SOLVED, (
+        f"{name}: {int(res.info.status)} after {int(res.info.iter)} iters "
+        f"(primal_res={float(res.info.primal_res):.2e}, "
+        f"dual_res={float(res.info.dual_res):.2e})"
+    )
+
+
 NETLIB_SMALL = [
     "adlittle", "afiro", "agg", "agg2", "agg3", "bandm", "beaconfd",
     "blend", "boeing1", "boeing2", "bore3d", "brandy", "capri", "e226",
