@@ -52,9 +52,15 @@ def main():
     # solves per iteration for fewer iterations
     import os
     gondzio = int(os.environ.get("PIQP_NS_GONDZIO", "0"))
+    # experiment knob for the phase-A refinement policy (types.Settings.
+    # refine_static_passes; "d" = the dataclass default)
+    rsp = os.environ.get("PIQP_NS_STATIC_PASSES", "d")
 
+    kw = {}
+    if rsp != "d":
+        kw["refine_static_passes"] = int(rsp)
     settings = Settings(mixed_precision=mixed, pallas_kernels=pallas,
-                        centrality_correctors=gondzio)
+                        centrality_correctors=gondzio, **kw)
     problems = batch_problems(dim, B)
 
     # stack on host, then upload all chunks (and the perturbed-c warm

@@ -434,7 +434,7 @@ def _(data: LDLTKKTQPData, settings: Settings = None):
 
 
 @precompute.register
-def _(data: LDLTKKTQPData):
+def _(data: LDLTKKTQPData, mixed: bool = False):
     return None
 
 
