@@ -53,17 +53,21 @@ REF_BASELINE = os.path.join(REPO, "benchmarks", "ref_baseline.json")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
 _T0 = time.monotonic()
 
-# (dim, B, chunk, mixed, pallas) attempts, run in order while budget lasts;
-# each SUCCESS immediately replaces the reported payload (so a later driver
-# timeout still reports the best completed config), and larger-B successes
-# are preferred over smaller ones.  The fast reliable config (B=256,
-# mixed+Pallas: 1117 warm solves/s measured 2026-08-20 after the round-5
-# f32-matvec phase A) lands a number first; B=1024 then upgrades it.
+# (dim, B, chunk, mixed, pallas, static_passes) attempts, run in order
+# while budget lasts; a SUCCESS replaces the reported payload only when
+# its warm solves/s is HIGHER (so a later attempt can never lose the
+# result in hand).  static_passes is the phase-A refinement policy knob
+# (types.Settings.refine_static_passes; "d" = library default):
+# round-5 measurements (docs/performance.md) — B=256 adaptive (-1) is the
+# best dispatch-per-round config (1117.2 warm solves/s, cold clean at
+# B=256); the static-1 library default is the robust-cold choice at
+# B=1024 (1024/1024 cold in 31 iters vs 2 stragglers burning the 250
+# budget under adaptive).
 ATTEMPTS = [
-    (64, 256, 128, 1, 1),
-    (64, 1024, 256, 1, 1),
-    (64, 512, 128, 1, 1),
-    (64, 256, 128, 0, 0),
+    (64, 256, 128, 1, 1, "-1"),
+    (64, 1024, 256, 1, 1, "d"),
+    (64, 256, 128, 1, 1, "d"),
+    (64, 256, 128, 0, 0, "d"),
 ]
 
 # Fused K-rounds-per-dispatch SQP attempt (batch.solve_batch_sqp): K warm
@@ -125,16 +129,18 @@ def _cpu_env():
     return env
 
 
-def run_config(dim, B, chunk, mixed, pallas, timeout, env=None):
+def run_config(dim, B, chunk, mixed, pallas, timeout, env=None, sp="d"):
     global _child
     cmd = [
         sys.executable,
         os.path.join(REPO, "benchmarks", "northstar_bench.py"),
         str(dim), str(B), str(chunk), str(mixed), str(pallas),
     ]
+    cenv = dict(env if env is not None else os.environ)
+    cenv["PIQP_NS_STATIC_PASSES"] = sp
     _child = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        cwd=REPO, env=env,
+        cwd=REPO, env=cenv,
     )
     try:
         stdout, stderr = _child.communicate(timeout=timeout)
@@ -159,9 +165,13 @@ def run_fused(dim, B, rounds, mixed, timeout, env=None):
         os.path.join(REPO, "benchmarks", "sqp_fused_bench.py"),
         str(dim), str(B), str(rounds), str(mixed),
     ]
+    cenv = dict(env if env is not None else os.environ)
+    # adaptive refinement: measured 1019.7 vs 826.3 fused solves/s
+    # (cold-stall robustness is irrelevant to the warm fused loop)
+    cenv["PIQP_FUSED_STATIC_PASSES"] = "-1"
     _child = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        cwd=REPO, env=env,
+        cwd=REPO, env=cenv,
     )
     try:
         stdout, stderr = _child.communicate(timeout=timeout)
@@ -214,22 +224,22 @@ def main():
                 "accelerator probe failed twice; falling back to XLA-CPU")
             env = _cpu_env()
 
-    best_B = 0
-    for dim, B, chunk, mixed, pallas in ATTEMPTS:
-        if best_B and B <= best_B:
-            continue  # already have a result at this scale or larger
+    got_any = False
+    for dim, B, chunk, mixed, pallas, sp in ATTEMPTS:
         slice_s = _remaining() - 30  # leave room to print
-        if slice_s < 60 or (best_B and slice_s < 420):
+        if slice_s < 60 or (got_any and slice_s < 420):
             # never risk the recorded result for an upgrade with too
             # little budget left
             errors.append("budget exhausted before B=%d attempt" % B)
             break
         res, err = run_config(dim, B, chunk, mixed, pallas,
-                              timeout=int(slice_s), env=env)
+                              timeout=int(slice_s), env=env, sp=sp)
         if res is not None:
-            _record(res, ref, errors)
-            best_B = res["B"]
-            if best_B >= 1024:
+            if res["warm_qps_per_s"] > _payload["value"]:
+                _record(res, ref, errors, sp)
+            got_any = True
+            if B >= 1024:
+                # remaining attempts are smaller fallbacks; skip to fused
                 break
             continue
         errors.append(f"B={B},chunk={chunk},mixed={mixed},pallas={pallas}: {err}")
@@ -247,7 +257,7 @@ def main():
     # Fused upgrade pass: only after a northstar result is recorded (the
     # fused number replaces the value only when it is strictly better, so
     # this can never lose the result already in hand).
-    if best_B:
+    if got_any:
         for dim, B, rounds, mixed in FUSED_ATTEMPTS:
             slice_s = _remaining() - 30
             if slice_s < 300:
@@ -262,7 +272,7 @@ def main():
                 _record_fused(res, ref)
                 break  # first (largest-B) win is the headline
 
-    if best_B == 0:
+    if not got_any:
         _payload["error"] = "; ".join(errors)[-1200:]
     _emit_and_exit()
 
@@ -297,7 +307,7 @@ def _record_fused(res, ref):
     })
 
 
-def _record(res, ref, errors):
+def _record(res, ref, errors, sp="d"):
     """Fold a successful config into the reported payload (the signal
     handlers print whatever is recorded here if the driver times out)."""
     refc = ref["configs"][str(res["dim"])]
@@ -312,6 +322,7 @@ def _record(res, ref, errors):
             "B": res["B"], "chunk": res["chunk"],
             "mixed_precision": bool(res["mixed"]),
             "pallas_kernels": bool(res.get("pallas")),
+            "refine_static_passes": sp,
             "plain_warm_qps_per_s": res.get("plain_warm_qps_per_s"),
             "cold_qps_per_s": res["cold_qps_per_s"],
             "solved": res["solved"], "warm_solved": res["warm_solved"],

