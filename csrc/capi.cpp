@@ -94,6 +94,9 @@ void piqp_tpu_settings_default(piqp_tpu_settings* s)
     s->use_float32 = 0;
     s->mixed_precision = 0;
     s->pallas_kernels = 0;
+    s->refine_mu_factor = 1e-2;
+    s->refine_static_passes = 1;
+    s->mixed_phase_a_patience = 12;
 }
 
 static const char* backend_name(piqp_tpu_kkt_solver k)
@@ -189,6 +192,9 @@ static PyObject* build_settings(PyObject* mod, const piqp_tpu_settings* s)
     }
     set_b("mixed_precision", s->mixed_precision);
     set_b("pallas_kernels", s->pallas_kernels);
+    set_f("refine_mu_factor", s->refine_mu_factor);
+    set_i("refine_static_passes", s->refine_static_passes);
+    set_i("mixed_phase_a_patience", s->mixed_phase_a_patience);
 
     Py_DECREF(backend);
     PyObject* settings_obj = nullptr;

@@ -123,6 +123,13 @@ typedef struct {
     int use_float32;                       /* 0: f64 solver dtype */
     int mixed_precision;                   /* 0: f32 factors + refinement */
     int pallas_kernels;                    /* 0: Pallas batched factor path */
+    double refine_mu_factor;               /* 1e-2: inexact-IPM refinement
+                                              tolerance (0 = fixed 1e-12) */
+    int refine_static_passes;              /* 1: fixed phase-A refinement
+                                              passes (-1 = adaptive loop) */
+    int mixed_phase_a_patience;            /* 12: phase-A stall exit after
+                                              this many no-progress iters
+                                              (0 = disabled) */
 } piqp_tpu_settings;
 
 /* Full info mirror (piqp_info, piqp_typedef.h:117-160). */

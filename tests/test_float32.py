@@ -4,6 +4,7 @@ the tool to recover accuracy from a lower-precision factorization —
 SURVEY.md section 7 delta 5)."""
 
 import numpy as np
+import pytest
 
 from piqp_tpu import Settings, Status, solve_dense
 from piqp_tpu.utils.random import dense_strongly_convex_qp
@@ -86,3 +87,31 @@ def test_mixed_precision_cyclic_reduction():
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(res64.x), atol=1e-6, rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("passes", [-1, 0, 1, 2])
+def test_refine_static_passes_policies(passes):
+    """Every phase-A refinement policy (adaptive, none, 1, 2 static
+    passes) reaches the default f64 tolerances under mixed precision."""
+    prob = dense_strongly_convex_qp(24, 6, 12, seed=11)
+    res = solve_dense(
+        **prob,
+        settings=Settings(mixed_precision=True, refine_static_passes=passes),
+    )
+    assert int(res.info.status) == Status.SOLVED
+    check_optimality(prob, res, tol=1e-6)
+
+
+@pytest.mark.parametrize("patience", [0, 3, 12])
+def test_mixed_phase_a_patience(patience):
+    """The phase-A stall guard (any patience, incl. disabled) preserves
+    solutions on well-behaved problems — it only changes trajectories
+    that plateau."""
+    prob = dense_strongly_convex_qp(16, 4, 8, seed=12)
+    res = solve_dense(
+        **prob,
+        settings=Settings(mixed_precision=True,
+                          mixed_phase_a_patience=patience),
+    )
+    assert int(res.info.status) == Status.SOLVED
+    check_optimality(prob, res, tol=1e-6)
