@@ -273,9 +273,28 @@ def _safe_inv(x, mask):
 
 
 class _KKT:
-    """Scalings + full sparse KKT factor/solve (KKTSystem + KKT_FULL)."""
+    """Scalings + sparse KKT factor/solve (KKTSystem over the reference's
+    four KKT modes, sparse/kkt_full.hpp / kkt_eq_eliminated.hpp /
+    kkt_ineq_eliminated.hpp / kkt_all_eliminated.hpp):
 
-    def __init__(self, data: HostData, settings: Settings):
+      - ``full``: the (n+p+m) quasidefinite 3-block system;
+      - ``eq``:   equalities eliminated — (n+m) system with
+                  P + diag(x_reg) + delta^-1 A'A in the top-left
+                  (kkt_eq_eliminated.hpp:22-120);
+      - ``ineq``: inequalities eliminated — (n+p) system with
+                  P + diag(x_reg) + G'WG in the top-left
+                  (kkt_ineq_eliminated.hpp:22-120);
+      - ``cond``: everything eliminated — the n x n SPD system
+                  (kkt_all_eliminated.hpp:22-100).
+
+    ``mode="auto"`` (default) picks full-vs-cond by structural nnz
+    (_choose_route); the explicit modes mirror the reference's user-chosen
+    KKTMode settings (sparse_ldlt_eq_cond / sparse_ldlt_ineq_cond)."""
+
+    def __init__(self, data: HostData, settings: Settings, mode: str = "auto"):
+        if mode not in ("auto", "full", "eq", "ineq", "cond"):
+            raise ValueError(f"unknown kkt_mode {mode!r}")
+        self._mode = mode
         self.data = data
         self.settings = settings
         self.P_diag = data.P.diagonal()
@@ -296,6 +315,7 @@ class _KKT:
         self._condc = None  # cached (AtA csc, G csr)
         self._force_full = False
         self._using_cond = False
+        self._using_elim = None
         self._w_f = None
         # exact cumulative phase timers (results.hpp:87-88); instance
         # attributes shadow the methods with timed wrappers
@@ -457,9 +477,58 @@ class _KKT:
             ok = False
         return bool(ok)
 
+    def _factor_elim(self, which):
+        """Partially eliminated quasidefinite KKT (kkt_eq_eliminated.hpp /
+        kkt_ineq_eliminated.hpp): eliminate ONE constraint block into the
+        top-left, keep the other as an explicit bordered block."""
+        d = self.data
+        AtA, Gcsr = self._cond_cache()
+        K11 = d.P + sp.diags(self.x_reg_f)
+        if which == "eq":
+            if d.p:
+                K11 = K11 + (1.0 / self.delta_f) * AtA
+            if d.m:
+                zs_f = np.where(self.z_reg_f > 0, self.z_reg_f, 1.0)
+                # dead rows (z_reg = 0) keep a -1 diagonal slot so the
+                # bordered block stays invertible; their lz recovers 0
+                diag = -np.where(self.z_reg_f > 0, zs_f, 1.0)
+                K = sp.bmat([[K11, d.GT], [d.G, sp.diags(diag)]],
+                            format="csc")
+            else:
+                K = K11.tocsc()
+        else:  # ineq
+            if d.m:
+                zs_f = np.where(self.z_reg_f > 0, self.z_reg_f, 1.0)
+                w_f = np.where(self.z_reg_f > 0, 1.0 / zs_f, 0.0)
+                self._w_f = w_f
+                K11 = K11 + Gcsr.T @ sp.diags(w_f) @ Gcsr
+            if d.p:
+                K = sp.bmat(
+                    [[K11, d.AT],
+                     [d.A, -self.delta_f * sp.eye(d.p)]], format="csc",
+                )
+            else:
+                K = K11.tocsc()
+        try:
+            self.lu = spla.splu(K)
+            ok = (np.isfinite(self.lu.L.data).all()
+                  and np.isfinite(self.lu.U.data).all())
+        except (RuntimeError, MemoryError):
+            self.lu = None
+            ok = False
+        return bool(ok)
+
     def factor(self):
+        if self._mode in ("eq", "ineq") and not self._force_full:
+            if self._factor_elim(self._mode):
+                self._using_cond = False
+                self._using_elim = self._mode
+                return True
+            self._force_full = True  # numerical failure: full KKT forever
+        self._using_elim = None
         if self._route is None:
-            self._route = self._choose_route()
+            self._route = (self._mode if self._mode in ("full", "cond")
+                           else self._choose_route())
         if self._route == "cond" and not self._force_full:
             if self._factor_cond():
                 self._using_cond = True
@@ -516,6 +585,18 @@ class _KKT:
                 rhs = rhs + d.GT @ (self._w_f * rz)
             lx = self.lu.solve(rhs)
             ly = (d.A @ lx - ry) / self.delta_f if d.p else np.zeros(0)
+            lz = self._w_f * (d.G @ lx - rz) if d.m else np.zeros(0)
+            return lx, ly, lz
+        if self._using_elim == "eq":
+            rhs = rx + (d.AT @ ry) * (1.0 / self.delta_f) if d.p else rx
+            sol = self.lu.solve(np.concatenate([rhs, rz]))
+            lx, lz = sol[: d.n], sol[d.n:]
+            ly = (d.A @ lx - ry) / self.delta_f if d.p else np.zeros(0)
+            return lx, ly, lz
+        if self._using_elim == "ineq":
+            rhs = rx + d.GT @ (self._w_f * rz) if d.m else rx
+            sol = self.lu.solve(np.concatenate([rhs, ry]))
+            lx, ly = sol[: d.n], sol[d.n:]
             lz = self._w_f * (d.G @ lx - rz) if d.m else np.zeros(0)
             return lx, ly, lz
         sol = self.lu.solve(np.concatenate([rx, ry, rz]))
@@ -809,7 +890,7 @@ def _msmax(v, mask):
 
 def solve_host(
     data: HostData, settings: Settings = Settings(), verbose: bool = False,
-    warm=None,
+    warm=None, kkt_mode: str = "auto",
 ) -> HostResult:
     """Host-side proximal IPM; mirrors solver.py::solve_scaled step-for-step
     (itself mirroring solve_impl, solver.hpp:379-882).
@@ -828,7 +909,7 @@ def solve_host(
         status=int(Status.RUNNING), rho=settings.rho_init, delta=settings.delta_init
     )
     reg_limit = settings.reg_lower_limit
-    kkt = _KKT(d, settings)
+    kkt = _KKT(d, settings, kkt_mode)
     t_start = time.perf_counter()
 
     def _fill_times():
@@ -1380,9 +1461,13 @@ def _finalize_host(d: HostData, sc: HostScaling, v: _Vars, info: HostInfo) -> Ho
 def solve_sparse_host(
     P, c, A=None, b=None, G=None, h_l=None, h_u=None, x_l=None, x_u=None,
     settings: Settings = Settings(), verbose: bool = False, warm=None,
+    kkt_mode: str = "auto",
 ) -> HostResult:
-    """One-shot host sparse solve."""
+    """One-shot host sparse solve.  ``kkt_mode`` selects the KKT
+    elimination level ("auto" | "full" | "eq" | "ineq" | "cond" — the
+    reference's KKTMode, sparse/kkt.hpp); "auto" picks full-vs-cond by
+    structural nnz."""
     return solve_host(
         prepare_sparse(P, c, A, b, G, h_l, h_u, x_l, x_u), settings, verbose,
-        warm
+        warm, kkt_mode
     )

@@ -129,3 +129,45 @@ def test_condensed_route_selected_for_sparse_eq():
     dense_prob = sparse_strongly_convex_qp(200, 100, 0, seed=7)
     data2 = prepare_sparse(**dense_prob)
     assert _KKT(data2, Settings())._choose_route() == "full"
+
+
+@pytest.mark.parametrize("mode", ["eq", "ineq", "full", "cond"])
+def test_elimination_modes_match(mode):
+    """Every KKT elimination level (kkt_eq_eliminated.hpp /
+    kkt_ineq_eliminated.hpp / kkt_all_eliminated.hpp / kkt_full.hpp)
+    produces the same solution on a mixed-constraint sparse QP."""
+    from piqp_tpu.utils.random import sparse_strongly_convex_qp
+
+    prob = sparse_strongly_convex_qp(60, 18, 24, seed=5)
+    ref = solve_sparse_host(**prob, kkt_mode="full")
+    assert ref.info.status == int(Status.SOLVED)
+    res = solve_sparse_host(**prob, kkt_mode=mode)
+    assert res.info.status == int(Status.SOLVED), mode
+    np.testing.assert_allclose(res.x, ref.x, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res.y, ref.y, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", ["eq", "ineq"])
+def test_elimination_modes_corpus_instance(mode):
+    """The partially-eliminated modes solve a real corpus instance with
+    both equality and inequality structure (mirrors the reference's
+    maros_meszaros_tests over its KKT modes)."""
+    from piqp_tpu.utils.io import load_mat
+
+    prob = load_mat(
+        "/root/reference/tests/data/maros_meszaros/HS118.mat", sparse=True
+    )
+    res = solve_sparse_host(**prob, kkt_mode=mode)
+    assert res.info.status == int(Status.SOLVED), mode
+
+
+@pytest.mark.parametrize("mode", ["eq", "ineq"])
+def test_elimination_modes_eq_or_ineq_only(mode):
+    """Degenerate block shapes: eq mode with p=0 and ineq mode with m=0
+    reduce to bordered/condensed forms without failing."""
+    from piqp_tpu.utils.random import sparse_strongly_convex_qp
+
+    prob = sparse_strongly_convex_qp(40, 0 if mode == "eq" else 12,
+                                     14 if mode == "eq" else 0, seed=9)
+    res = solve_sparse_host(**prob, kkt_mode=mode)
+    assert res.info.status == int(Status.SOLVED)
