@@ -195,7 +195,8 @@ class DenseSolver:
 class SparseSolver:
     settings: Settings
     def __init__(
-        self, settings: Settings = ..., multistage_fallback: bool = ...
+        self, settings: Settings = ..., multistage_fallback: bool = ...,
+        host_kkt_mode: str = ...,
     ) -> None: ...
     def setup(
         self,

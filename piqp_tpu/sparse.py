@@ -74,9 +74,15 @@ class SparseSolver(DenseSolver):
         cap = self._settings.dense_routing_max_n
         return self.DENSE_ROUTING_MAX_N if cap is None else cap
 
-    def __init__(self, settings: Settings = Settings(), multistage_fallback: bool = True):
+    def __init__(self, settings: Settings = Settings(),
+                 multistage_fallback: bool = True,
+                 host_kkt_mode: str = "auto"):
         super().__init__(settings)
         self._multistage_fallback = multistage_fallback
+        #: KKT elimination level for the host sparse route ("auto" |
+        #: "full" | "eq" | "ineq" | "cond" — the reference's KKTMode,
+        #: sparse/kkt.hpp; hostsparse._KKT documents the systems).
+        self._host_kkt_mode = host_kkt_mode
         self._stage_data = None
         self._layout = None
         self._stage_raw = None
@@ -183,6 +189,7 @@ class SparseSolver(DenseSolver):
                 settings=self._settings,
                 verbose=self._settings.verbose,
                 warm=hwarm,
+                kkt_mode=self._host_kkt_mode,
             )
             self._result = res
             self._first_run = False

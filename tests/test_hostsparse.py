@@ -171,3 +171,18 @@ def test_elimination_modes_eq_or_ineq_only(mode):
                                      14 if mode == "eq" else 0, seed=9)
     res = solve_sparse_host(**prob, kkt_mode=mode)
     assert res.info.status == int(Status.SOLVED)
+
+
+@pytest.mark.parametrize("mode", ["eq", "ineq", "cond", "full"])
+def test_sparse_solver_host_kkt_mode(mode):
+    """SparseSolver(host_kkt_mode=...) threads the elimination level to
+    the host route end-to-end."""
+    from piqp_tpu.utils.random import sparse_strongly_convex_qp
+
+    prob = sparse_strongly_convex_qp(60, 18, 24, seed=5)
+    s = SparseSolver(
+        Settings(kkt_solver=__import__("piqp_tpu").KKTBackend.sparse_host),
+        host_kkt_mode=mode,
+    )
+    s.setup(**prob)
+    assert s.solve() == Status.SOLVED, mode
